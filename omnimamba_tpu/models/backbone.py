@@ -1,0 +1,294 @@
+"""Mamba backbone: embeddings + 48 blocks + final norm + dual vocab heads.
+
+TPU-native re-design of the reference ``MixerModel`` / ``MambaLMHeadModel``
+(``models/stage2/mixer_seq_simple.py:265-524``):
+
+- the 48 layers are *stacked* on a leading axis and driven by ``lax.scan``
+  (one traced block instead of 48 — fast compiles, and the whole decode step
+  fuses into a single XLA program, replacing the reference's CUDA-graph
+  capture, generation.py:296-434);
+- the task is a static argument selecting the LoRA branch and head — two
+  compiled programs instead of the reference's Python-side
+  ``set_lora_mode`` mutation (mixer_seq_simple.py:365-371);
+- heads are weight-tied to their embedding tables (``tie_embeddings=True``,
+  mixer_seq_simple.py:498-502) and always computed with fp32 accumulation so
+  greedy argmax is stable in bf16.
+
+Embedding extras (mixer_seq_simple.py:296-305):
+- t2i: ``img_embeddings`` = 16384-vocab table + FusedMLP ``project_in``
+  (GPT2Embeddings with word_embed_proj_dim=d_model, :56-64,297),
+  learned ``pos_embed`` (1, 256+73, d), ``caption_embed`` MLP;
+- mmu: ``mmu_pos_embed`` (1, 1500, d);
+- text ``embedding`` (padded vocab).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from omnimamba_tpu.config import MambaConfig
+from omnimamba_tpu.models.blocks import block_forward, block_step
+from omnimamba_tpu.models.mamba2 import Mamba2Cache, init_cache, init_mamba2
+from omnimamba_tpu.ops.norms import rms_norm
+
+
+def _linear_init(key, d_in, d_out, dtype, zero_bias=True, scale=1.0):
+    bound = 1.0 / math.sqrt(d_in)
+    w = jax.random.uniform(key, (d_in, d_out), dtype, minval=-bound, maxval=bound)
+    w = w * scale
+    b = jnp.zeros((d_out,), dtype) if zero_bias else None
+    return {"kernel": w, "bias": b}
+
+
+def _trunc_normal(key, shape, std, dtype):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape).astype(dtype)
+
+
+def init_backbone(key: jax.Array, cfg: MambaConfig, dtype=jnp.float32) -> Dict:
+    """Full parameter pytree; init distributions follow the reference
+    (_init_weights, mixer_seq_simple.py:233-262: embeddings normal(0.02),
+    linear biases zero, out_proj/fc2 rescaled 1/sqrt(n_layer))."""
+    k = jax.random.split(key, 16)
+    d = cfg.d_model
+    params: Dict = {}
+
+    params["embedding"] = 0.02 * jax.random.normal(
+        k[0], (cfg.padded_vocab_size, d)
+    ).astype(dtype)
+
+    if cfg.t2i_task:
+        params["img_embeddings"] = {
+            "word_embeddings": 0.02
+            * jax.random.normal(k[1], (cfg.vqvae_vocab_size, d)).astype(dtype),
+            # FusedMLPProjector(d, d): d -> 4d -> d -> d, GELU between
+            # (nn_utils.py:38-54); biases zeroed by _init_weights
+            "project_in": {
+                "fc1": _linear_init(k[2], d, 4 * d, dtype),
+                "fc2": _linear_init(k[3], 4 * d, d, dtype),
+                "fc3": _linear_init(k[4], d, d, dtype),
+            },
+        }
+        params["pos_embed"] = _trunc_normal(k[5], (1, cfg.t2i_pos_len, d), 0.02, dtype)
+        # CaptionEmbedder MLP: fc1/fc2 no bias, gelu(tanh); fc2 rescaled
+        # (matches _init_weights hitting name "fc2.weight")
+        params["caption_embed"] = {
+            "fc1": {"kernel": _linear_init(k[6], d, d, dtype)["kernel"], "bias": None},
+            "fc2": {
+                "kernel": _linear_init(k[7], d, d, dtype, scale=1.0 / math.sqrt(cfg.n_layer))["kernel"],
+                "bias": None,
+            },
+        }
+    if cfg.mmu_task:
+        params["mmu_pos_embed"] = _trunc_normal(
+            k[8], (1, cfg.mmu_pos_len, d), 0.02, dtype
+        )
+
+    layer_keys = jax.random.split(k[9], cfg.n_layer)
+    layers = [
+        {
+            "norm": {"weight": jnp.ones((d,), dtype)},
+            "mixer": init_mamba2(layer_keys[i], cfg.mixer, cfg.lora, cfg.n_layer, dtype),
+        }
+        for i in range(cfg.n_layer)
+    ]
+    params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    params["norm_f"] = {"weight": jnp.ones((d,), dtype)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# embedding helpers
+# ---------------------------------------------------------------------------
+
+
+def _fused_mlp(p: Dict, x: jax.Array) -> jax.Array:
+    """FusedMLPProjector forward (nn_utils.py:43-49): Lin-GELU-Lin-GELU-Lin."""
+    h = x @ p["fc1"]["kernel"].astype(x.dtype) + p["fc1"]["bias"].astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    h = h @ p["fc2"]["kernel"].astype(x.dtype) + p["fc2"]["bias"].astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    h = h @ p["fc3"]["kernel"].astype(x.dtype) + p["fc3"]["bias"].astype(x.dtype)
+    return h
+
+
+def embed_text(params: Dict, ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    return params["embedding"][ids].astype(dtype)
+
+
+def embed_image_tokens(params: Dict, ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """img_embeddings: table lookup + FusedMLP project_in
+    (GPT2Embeddings.forward, mixer_seq_simple.py:73-88 with project_in)."""
+    e = params["img_embeddings"]["word_embeddings"][ids].astype(dtype)
+    return _fused_mlp(params["img_embeddings"]["project_in"], e)
+
+
+def caption_embed(params: Dict, x: jax.Array) -> jax.Array:
+    """CaptionEmbedder MLP (mixer_seq_simple.py:125-164): gelu(tanh)."""
+    p = params["caption_embed"]
+    h = x @ p["fc1"]["kernel"].astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=True)
+    return h @ p["fc2"]["kernel"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward passes
+# ---------------------------------------------------------------------------
+
+
+class BackboneCache(NamedTuple):
+    """Stacked per-layer decode state: leading axis = layer."""
+
+    conv_state: jax.Array  # (n_layer, B, W-1, d_conv_in)
+    ssm_state: jax.Array  # (n_layer, B, H, P, N) fp32
+
+
+def init_backbone_cache(cfg: MambaConfig, batch: int, dtype=jnp.bfloat16) -> BackboneCache:
+    one = init_cache(batch, cfg.mixer, dtype)
+    return BackboneCache(
+        conv_state=jnp.broadcast_to(
+            one.conv_state[None], (cfg.n_layer,) + one.conv_state.shape
+        ).astype(dtype),
+        ssm_state=jnp.broadcast_to(
+            one.ssm_state[None], (cfg.n_layer,) + one.ssm_state.shape
+        ),
+    )
+
+
+def backbone_forward(
+    params: Dict,
+    embeddings: jax.Array,  # (B, L, d)
+    task: str,
+    cfg: MambaConfig,
+    *,
+    add_mmu_pos: bool = True,
+    scan_impl: str = "chunked",
+    return_cache: bool = False,
+    dropout_key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[BackboneCache]]:
+    """Full-sequence forward over all layers -> final-normed hidden states.
+
+    Mirrors MixerModel.forward's embeddings-in branch
+    (mixer_seq_simple.py:378-386,404-437): mmu adds mmu_pos_embed[:, :L];
+    t2i positions were already added by the caller.
+    """
+    B, L, d = embeddings.shape
+    h = embeddings
+    if task == "mmu" and add_mmu_pos:
+        h = h + params["mmu_pos_embed"][:, :L].astype(h.dtype)
+
+    residual = jnp.zeros_like(h, dtype=jnp.float32)
+
+    if dropout_key is not None:
+        dropout_keys = jax.random.split(dropout_key, cfg.n_layer)
+    else:
+        dropout_keys = None
+
+    def body(carry, xs):
+        h, residual = carry
+        if dropout_keys is not None:
+            layer_params, dkey = xs
+        else:
+            layer_params, dkey = xs, None
+        out, new_residual, cache = block_forward(
+            layer_params,
+            h,
+            residual,
+            task,
+            cfg.mixer,
+            cfg.lora,
+            norm_eps=cfg.norm_eps,
+            scan_impl=scan_impl,
+            return_cache=return_cache,
+            dropout_key=dkey,
+        )
+        emit = cache if return_cache else None
+        return (out, new_residual), emit
+
+    xs = (params["layers"], dropout_keys) if dropout_keys is not None else params["layers"]
+    (h, residual), caches = jax.lax.scan(body, (h, residual), xs)
+
+    final = rms_norm(
+        (h.astype(jnp.float32) + residual), params["norm_f"]["weight"], cfg.norm_eps
+    ).astype(embeddings.dtype)
+
+    out_cache = None
+    if return_cache:
+        out_cache = BackboneCache(
+            conv_state=caches.conv_state, ssm_state=caches.ssm_state
+        )
+    return final, out_cache
+
+
+def backbone_step(
+    params: Dict,
+    token_ids: jax.Array,  # (B,) next-token ids
+    pos: jax.Array,  # scalar int32 current position
+    cache: BackboneCache,
+    task: str,
+    cfg: MambaConfig,
+    *,
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, BackboneCache]:
+    """One decode token through all layers (ids-in branch,
+    mixer_seq_simple.py:387-402): per-task embedding + positional gather."""
+    if task == "t2i":
+        h = embed_image_tokens(params, token_ids, dtype)
+        pe = jax.lax.dynamic_index_in_dim(
+            params["pos_embed"][0], pos, axis=0, keepdims=False
+        )
+        h = h + pe.astype(dtype)[None]
+    elif task == "mmu":
+        h = embed_text(params, token_ids, dtype)
+        pe = jax.lax.dynamic_index_in_dim(
+            params["mmu_pos_embed"][0],
+            jnp.minimum(pos, cfg.mmu_pos_len - 1),
+            axis=0,
+            keepdims=False,
+        )
+        h = h + pe.astype(dtype)[None]
+    else:
+        raise ValueError(task)
+
+    residual = jnp.zeros_like(h, dtype=jnp.float32)
+
+    def body(carry, xs):
+        h, residual = carry
+        layer_params, conv_state, ssm_state = xs
+        out, new_residual, new_cache = block_step(
+            layer_params,
+            h,
+            residual,
+            Mamba2Cache(conv_state, ssm_state),
+            task,
+            cfg.mixer,
+            cfg.lora,
+            norm_eps=cfg.norm_eps,
+        )
+        return (out, new_residual), new_cache
+
+    (h, residual), new_caches = jax.lax.scan(
+        body, (h, residual), (params["layers"], cache.conv_state, cache.ssm_state)
+    )
+    final = rms_norm(
+        (h.astype(jnp.float32) + residual), params["norm_f"]["weight"], cfg.norm_eps
+    ).astype(dtype)
+    return final, BackboneCache(new_caches.conv_state, new_caches.ssm_state)
+
+
+def apply_head(params: Dict, hidden: jax.Array, task: str) -> jax.Array:
+    """Task-routed weight-tied head, fp32 accumulation
+    (mixer_seq_simple.py:483-524: img_head for t2i, lm_head for mmu)."""
+    if task == "t2i":
+        table = params["img_embeddings"]["word_embeddings"]
+    elif task == "mmu":
+        table = params["embedding"]
+    else:
+        raise ValueError(task)
+    return jnp.einsum(
+        "...d,vd->...v", hidden, table.astype(hidden.dtype),
+        preferred_element_type=jnp.float32,
+    )

@@ -1,0 +1,138 @@
+"""Autoregressive decode engine — one XLA program instead of CUDA graphs.
+
+Reference: ``models/stage2/generation.py:125-434``. The reference prefil ls
+with ``input_embeddings`` then replays a captured CUDA graph per token; here
+prefill is one jitted chunked-scan forward returning the recurrent cache, and
+the token loop is a ``lax.while_loop`` whose body embeds, runs the 48-layer
+recurrent step (a ``lax.scan`` over stacked layers), applies the tied head in
+fp32 and samples. Constant-memory state, no KV cache, static shapes: compiled
+once per (batch, prompt-length, max-length, task).
+
+Faithful semantics:
+- first sampled token comes from the prefill logits (num_last_tokens=1)
+- decode-step position id = seqlen_offset (generation.py:186-191)
+- early stop when *all* current tokens equal eos (generation.py:222-229)
+- ``teacher_outputs`` overrides sampling for full-sequence replay
+  (generation.py:152-156,214-220 — the reference's own test affordance)
+
+TPU-native addition: optional classifier-free guidance for T2I. Pack
+[cond; uncond] along batch, pass ``cfg_scale``; logits are combined as
+uncond + s*(cond-uncond) and both streams consume the same sampled token
+(the training-time cond-dropout that enables this is in
+coco_dataset.py:84 / prompting_utils.py:56-57).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from omnimamba_tpu.config import MambaConfig
+from omnimamba_tpu.models.backbone import (
+    BackboneCache,
+    apply_head,
+    backbone_forward,
+    backbone_step,
+)
+from omnimamba_tpu.ops.sampling import SampleParams, sample_token
+
+
+class GenerateOutput(NamedTuple):
+    sequences: jax.Array  # (B, L0 + new) int32: prompt ids ++ generated
+    num_generated: jax.Array  # scalar int32: valid generated count
+
+
+class _LoopState(NamedTuple):
+    n: jax.Array  # tokens sampled so far
+    tokens: jax.Array  # (B, T_new) generated buffer (pad-filled)
+    logits: jax.Array  # (B, V) fp32 logits for next sample
+    cache: BackboneCache
+    stopped: jax.Array  # bool: all-eos observed
+    key: jax.Array
+
+
+def generate(
+    params: Dict,
+    cfg: MambaConfig,
+    *,
+    input_ids: jax.Array,  # (B, L0)
+    input_embeddings: jax.Array,  # (B, L0, d) — positions already applied per task
+    task: str,
+    max_length: int,
+    sample: SampleParams = SampleParams(),
+    eos_token_id: Optional[int] = None,
+    teacher_outputs: Optional[jax.Array] = None,  # (B, >=max_length) full-seq ids
+    key: Optional[jax.Array] = None,
+    cfg_scale: Optional[float] = None,
+    scan_impl: str = "chunked",
+) -> GenerateOutput:
+    B, L0 = input_ids.shape
+    T_new = max_length - L0
+    assert T_new > 0, "max_length must exceed prompt length"
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    # ---- prefill ----------------------------------------------------------
+    hidden, cache = backbone_forward(
+        params,
+        input_embeddings,
+        task,
+        cfg,
+        scan_impl=scan_impl,
+        return_cache=True,
+    )
+    logits0 = apply_head(params, hidden[:, -1], task)  # (B, V) fp32
+
+    def _combine_cfg(logits):
+        if cfg_scale is None:
+            return logits
+        half = B // 2
+        cond, uncond = logits[:half], logits[half:]
+        mixed = uncond + cfg_scale * (cond - uncond)
+        return jnp.concatenate([mixed, mixed], axis=0)
+
+    logits0 = _combine_cfg(logits0)
+
+    tokens0 = jnp.zeros((B, T_new), jnp.int32)
+    state = _LoopState(
+        n=jnp.int32(0),
+        tokens=tokens0,
+        logits=logits0,
+        cache=cache,
+        stopped=jnp.bool_(False),
+        key=key,
+    )
+
+    def cond_fn(s: _LoopState):
+        return jnp.logical_and(s.n < T_new, jnp.logical_not(s.stopped))
+
+    def body_fn(s: _LoopState):
+        key, sub = jax.random.split(s.key)
+        tok = sample_token(sub, s.logits, sample)  # (B,)
+        if teacher_outputs is not None:
+            # teacher indexed by absolute position L0+n (generation.py:218)
+            t_tok = jax.vmap(lambda row: row[L0 + s.n])(teacher_outputs)
+            tok = t_tok.astype(tok.dtype)
+        tokens = jax.lax.dynamic_update_slice(s.tokens, tok[:, None], (0, s.n))
+        stopped = (
+            jnp.all(tok == eos_token_id) if eos_token_id is not None else jnp.bool_(False)
+        )
+        # next logits (position id = L0 + n, generation.py:186-191)
+        hidden, new_cache = backbone_step(
+            params, tok, L0 + s.n, s.cache, task, cfg, dtype=input_embeddings.dtype
+        )
+        logits = _combine_cfg(apply_head(params, hidden, task))
+        return _LoopState(
+            n=s.n + 1,
+            tokens=tokens,
+            logits=logits,
+            cache=new_cache,
+            stopped=stopped,
+            key=key,
+        )
+
+    final = jax.lax.while_loop(cond_fn, body_fn, state)
+    sequences = jnp.concatenate([input_ids.astype(jnp.int32), final.tokens], axis=1)
+    return GenerateOutput(sequences=sequences, num_generated=final.n)
