@@ -1,0 +1,75 @@
+"""Vision->LLM projection adapters.
+
+Reference: ``models/cobra/nn_utils.py:13-128``. The shipped config uses
+``FusedMLPProjector`` (2176 -> 4*2176 -> d_model -> d_model with GELU,
+``omnimamba.py:71``); linear and gelu-mlp variants are kept for parity with
+the ``arch_specifier`` switch (``omnimamba.py:66-77``). The arch is a static
+argument (not stored in the pytree) so params stay pure-array.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def _linear(key, d_in, d_out, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(d_in)
+    k1, k2 = jax.random.split(key)
+    return {
+        "kernel": jax.random.uniform(k1, (d_in, d_out), dtype, -bound, bound),
+        "bias": jax.random.uniform(k2, (d_out,), dtype, -bound, bound),
+    }
+
+
+def _apply(p, x):
+    return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def canonical_arch(arch: str) -> str:
+    if arch == "linear":
+        return "linear"
+    if arch.endswith("fused-gelu-mlp"):
+        return "fused-gelu-mlp"
+    if arch.endswith("gelu-mlp"):
+        return "gelu-mlp"
+    raise ValueError(f"unsupported projector arch {arch}")
+
+
+def init_projector(
+    key: jax.Array,
+    vision_dim: int,
+    llm_dim: int,
+    arch: str = "fused-gelu-mlp",
+    dtype=jnp.float32,
+) -> Dict:
+    ks = jax.random.split(key, 3)
+    arch = canonical_arch(arch)
+    if arch == "linear":
+        return {"fc1": _linear(ks[0], vision_dim, llm_dim, dtype)}
+    if arch == "fused-gelu-mlp":
+        hidden = vision_dim * 4
+        return {
+            "fc1": _linear(ks[0], vision_dim, hidden, dtype),
+            "fc2": _linear(ks[1], hidden, llm_dim, dtype),
+            "fc3": _linear(ks[2], llm_dim, llm_dim, dtype),
+        }
+    return {
+        "fc1": _linear(ks[0], vision_dim, llm_dim, dtype),
+        "fc2": _linear(ks[1], llm_dim, llm_dim, dtype),
+    }
+
+
+def apply_projector(params: Dict, x: jax.Array, arch: str = "fused-gelu-mlp") -> jax.Array:
+    arch = canonical_arch(arch)
+    if arch == "linear":
+        return _apply(params["fc1"], x)
+    if arch == "fused-gelu-mlp":
+        h = jax.nn.gelu(_apply(params["fc1"], x), approximate=False)
+        h = jax.nn.gelu(_apply(params["fc2"], h), approximate=False)
+        return _apply(params["fc3"], h)
+    h = jax.nn.gelu(_apply(params["fc1"], x), approximate=False)
+    return _apply(params["fc2"], h)
