@@ -1,0 +1,118 @@
+"""Benchmark: OmniMamba-1.3B T2I serving throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): >= 5 images/sec/chip @256px (16x16 VQ grid).
+
+The measured pipeline is the full T2I path of scripts/inference_t2i.py:
+72-token caption prefill -> 256 greedy decode steps through all 48 layers
+(one jitted while_loop, constant-memory recurrent state) -> VQ-16 decode to
+256px. Random weights (zero-egress env), bf16 activations, serving batch.
+Secondary numbers (MMU decode tok/s) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def sync(x):
+    """Reliable device sync: jax.block_until_ready can return early on the
+    experimental axon platform, so fetch a scalar to the host instead."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree.leaves(x)[0]
+    return np.asarray(leaf.ravel()[-1])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from omnimamba_tpu.config import MambaConfig, VisionConfig, VQConfig
+    from omnimamba_tpu.models.backbone import init_backbone, embed_text
+    from omnimamba_tpu.models.generation import generate
+    from omnimamba_tpu.models.omnimamba import OmniMambaModel, t2i_generate
+    from omnimamba_tpu.models.vq import init_vq
+    from omnimamba_tpu.ops.sampling import SampleParams
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    cfg = MambaConfig()  # 1.3B: d=2048, 48 layers
+    vq_cfg = VQConfig()
+    model = OmniMambaModel(cfg=cfg, vision_cfg=VisionConfig(), vq_cfg=vq_cfg, sptids={})
+
+    t0 = time.time()
+    params = {
+        "mamba": init_backbone(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
+        "vq": init_vq(jax.random.PRNGKey(1), vq_cfg, dtype=jnp.bfloat16),
+    }
+    n_params = sum(x.size for x in jax.tree.leaves(params["mamba"]))
+    log(f"init {n_params/1e9:.2f}B params in {time.time()-t0:.0f}s")
+
+    B = 16  # serving batch per chip
+    rng = np.random.default_rng(0)
+    text_ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 72)), jnp.int32)
+
+    gen = jax.jit(
+        lambda p, ids: t2i_generate(
+            p, model, ids, sample=SampleParams(top_k=1), decode_image=True
+        )[0]
+    )
+    t0 = time.time()
+    imgs = gen(params, text_ids)
+    sync(imgs)
+    log(f"t2i compile+first run: {time.time()-t0:.0f}s, imgs {imgs.shape}")
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        imgs = gen(params, text_ids)
+        sync(imgs)
+        times.append(time.time() - t0)
+    dt = min(times)
+    ips = B / dt
+    log(f"T2I: {dt*1e3:.0f} ms/batch of {B} -> {ips:.2f} img/s/chip")
+
+    # secondary: MMU decode throughput (batch=serving, 64 prompt + 256 new)
+    L0, T = 64, 256
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, L0)), jnp.int32)
+    emb = embed_text(params["mamba"], ids, jnp.bfloat16)
+    mmu = jax.jit(
+        lambda p, i, e: generate(
+            p, cfg, input_ids=i, input_embeddings=e, task="mmu",
+            max_length=L0 + T, sample=SampleParams(top_k=1),
+        ).sequences
+    )
+    out = mmu(params["mamba"], ids, emb)
+    sync(out)
+    t0 = time.time()
+    out = mmu(params["mamba"], ids, emb)
+    sync(out)
+    dt_mmu = time.time() - t0
+    tps = B * T / dt_mmu
+    log(f"MMU decode: {tps:.0f} tok/s/chip (batch {B}, target >=1000)")
+
+    print(
+        json.dumps(
+            {
+                "metric": "t2i_images_per_sec_per_chip_256px",
+                "value": round(ips, 3),
+                "unit": "img/s",
+                "vs_baseline": round(ips / 5.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

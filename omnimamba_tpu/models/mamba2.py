@@ -4,8 +4,8 @@ The reference instantiates this (externally, mamba_ssm==2.2.2) per block via
 ``ssm_cfg={'layer': 'Mamba2'}`` (``models/stage2/config_mamba.py:16``,
 ``mixer_seq_simple.py:196-205``). Pipeline:
 
-    in_proj (LoRA'd, reference lora.py:185)      -> [z | xBC | dt]
-    depthwise causal conv + SiLU on xBC          -> [x | B | C]
+    in_proj (LoRA'd, reference lora.py:185)      -> [z | x | B | C | dt]
+    depthwise causal conv + SiLU on [x|B|C]      -> x, B, C
     chunked SSD scan (h_t = e^{dt A} h + dt B x) -> y
     gated RMSNorm(y, z), out_proj                -> (B, L, d_model)
 
@@ -14,8 +14,20 @@ Pallas kernel in ``ops/ssd_pallas.py``); decode is the O(1) recurrent
 ``mamba2_step`` carrying (conv_state, ssm_state) — the TPU analog of
 ``causal_conv1d_update`` + ``selective_state_update``.
 
-Parameter layout is TPU-first: matmul kernels stored (in, out), conv taps
-(W, C) with channels on the lane axis.
+Tensor-parallel-first layout: the reference packs one fused
+``in_proj: d -> 2*d_inner + 2*G*N + H`` (8512 for the 1.3B). A packed axis
+cannot be head-sharded by GSPMD, so this framework stores the projection as
+column slices of that same matrix:
+
+    z  (d, d_inner)   -- shard heads on 'tp'
+    x  (d, d_inner)   -- shard heads on 'tp'
+    bc (d, 2*G*N)     -- replicated (ngroups=1: B/C shared across heads)
+    dt (d, H)         -- shard heads on 'tp'
+
+(the depthwise conv splits the same way: conv(x)++conv(B)++conv(C) ==
+conv(x++B++C) for per-channel taps). Converters map the reference's fused
+weights onto these slices losslessly (utils/convert.py). out_proj is
+row-parallel; XLA inserts the psum. See parallel/sharding.py for the rules.
 """
 
 from __future__ import annotations
@@ -27,7 +39,6 @@ import jax
 import jax.numpy as jnp
 
 from omnimamba_tpu.config import LoraConfig, Mamba2LayerConfig
-from omnimamba_tpu.models.lora import init_lora, lora_delta
 from omnimamba_tpu.ops.conv import (
     causal_conv1d,
     causal_conv1d_step,
@@ -37,16 +48,28 @@ from omnimamba_tpu.ops.norms import gated_rms_norm
 from omnimamba_tpu.ops.ssd_chunked import ssd_chunked
 from omnimamba_tpu.ops.ssd_reference import ssd_scan_reference, ssd_step
 
+_PARTS = ("z", "x", "bc", "dt")
+
 
 class Mamba2Cache(NamedTuple):
     """Per-layer recurrent decode state (constant memory, no KV cache).
 
     Mirrors the (conv_state, ssm_state) pair the reference allocates via
-    ``allocate_inference_cache`` (mixer_seq_simple.py:359-363).
+    ``allocate_inference_cache`` (mixer_seq_simple.py:359-363). conv_state
+    covers the concatenated [x|B|C] channels.
     """
 
     conv_state: jax.Array  # (B, W-1, d_conv_in) activation dtype
     ssm_state: jax.Array  # (B, H, P, N) fp32
+
+
+def _part_dims(cfg: Mamba2LayerConfig) -> Dict[str, int]:
+    return {
+        "z": cfg.d_inner,
+        "x": cfg.d_inner,
+        "bc": 2 * cfg.ngroups * cfg.d_state,
+        "dt": cfg.nheads,
+    }
 
 
 def init_mamba2(
@@ -60,44 +83,48 @@ def init_mamba2(
     torch-Linear kaiming-uniform for projections, GPT-2 1/sqrt(n_layer)
     residual rescale on out_proj (mixer_seq_simple.py:233-262), Mamba-2's
     A/dt/D init (mamba_ssm defaults)."""
-    k = jax.random.split(key, 8)
+    k = jax.random.split(key, 12)
     d_model, d_inner = cfg.d_model, cfg.d_inner
     H, W = cfg.nheads, cfg.d_conv
+    dims = _part_dims(cfg)
 
     bound_in = 1.0 / math.sqrt(d_model)
-    in_proj = jax.random.uniform(
-        k[0], (d_model, cfg.d_in_proj), dtype, minval=-bound_in, maxval=bound_in
-    )
+    in_proj = {
+        part: jax.random.uniform(
+            k[i], (d_model, dims[part]), dtype, minval=-bound_in, maxval=bound_in
+        )
+        for i, part in enumerate(_PARTS)
+    }
     bound_out = 1.0 / math.sqrt(d_inner)
     out_proj = jax.random.uniform(
-        k[1], (d_inner, d_model), dtype, minval=-bound_out, maxval=bound_out
+        k[4], (d_inner, d_model), dtype, minval=-bound_out, maxval=bound_out
     ) / math.sqrt(n_layer)
 
-    # depthwise conv: torch Conv1d default with fan_in = kernel_size
+    # depthwise conv over [x|B|C]: torch Conv1d default, fan_in = kernel width
     bound_c = 1.0 / math.sqrt(W)
-    conv_w = jax.random.uniform(
-        k[2], (W, cfg.d_conv_in), dtype, minval=-bound_c, maxval=bound_c
-    )
-    conv_b = jax.random.uniform(
-        k[3], (cfg.d_conv_in,), dtype, minval=-bound_c, maxval=bound_c
-    )
+    d_bc = dims["bc"]
+    conv = {
+        "weight_x": jax.random.uniform(k[5], (W, d_inner), dtype, -bound_c, bound_c),
+        "bias_x": jax.random.uniform(k[6], (d_inner,), dtype, -bound_c, bound_c),
+        "weight_bc": jax.random.uniform(k[7], (W, d_bc), dtype, -bound_c, bound_c),
+        "bias_bc": jax.random.uniform(k[8], (d_bc,), dtype, -bound_c, bound_c),
+    }
 
     # dt_bias = softplus^-1(dt), dt ~ exp(U(log dt_min, log dt_max))
-    u = jax.random.uniform(k[4], (H,), jnp.float32)
+    u = jax.random.uniform(k[9], (H,), jnp.float32)
     dt = jnp.exp(u * (math.log(cfg.dt_max) - math.log(cfg.dt_min)) + math.log(cfg.dt_min))
     dt = jnp.maximum(dt, cfg.dt_init_floor)
     dt_bias = dt + jnp.log(-jnp.expm1(-dt))
 
-    # A ~ U(1, 16), stored as log
     A_log = jnp.log(
         jax.random.uniform(
-            k[5], (H,), jnp.float32, minval=cfg.a_init_min, maxval=cfg.a_init_max
+            k[10], (H,), jnp.float32, minval=cfg.a_init_min, maxval=cfg.a_init_max
         )
     )
 
     params = {
-        "in_proj": {"kernel": in_proj},
-        "conv": {"weight": conv_w, "bias": conv_b},
+        "in_proj": in_proj,
+        "conv": conv,
         "dt_bias": dt_bias.astype(dtype),
         "A_log": A_log.astype(dtype),
         "D": jnp.ones((H,), dtype),
@@ -105,39 +132,54 @@ def init_mamba2(
         "out_proj": {"kernel": out_proj},
     }
     if lora_cfg is not None:
-        params["lora"] = init_lora(k[6], lora_cfg, d_model, cfg.d_in_proj, dtype)
+        params["lora"] = _init_lora(k[11], lora_cfg, cfg, dtype)
     return params
 
 
-def _project_and_split(
+def _init_lora(key, lora_cfg: LoraConfig, cfg: Mamba2LayerConfig, dtype) -> Dict:
+    """Dual-task LoRA on the (split) in_proj: A (n, d, r) kaiming-uniform,
+    per-part B (n, r, dim) zeros (reference lora.py:185-228, target
+    'in_proj' only)."""
+    dims = _part_dims(cfg)
+    bound = 1.0 / math.sqrt(cfg.d_model)
+    p: Dict = {}
+    for i, task in enumerate(("t2i", "mmu")):
+        ka = jax.random.fold_in(key, i)
+        p[f"{task}_A"] = jax.random.uniform(
+            ka, (lora_cfg.lora_nums, cfg.d_model, lora_cfg.r), dtype, -bound, bound
+        )
+        for part in _PARTS:
+            p[f"{task}_B_{part}"] = jnp.zeros(
+                (lora_cfg.lora_nums, lora_cfg.r, dims[part]), dtype
+            )
+    return p
+
+
+def _project_parts(
     params: Dict,
-    x: jax.Array,  # (B, L, d_model) or (B, d_model)
+    x: jax.Array,  # (..., d_model)
     task: Optional[str],
     cfg: Mamba2LayerConfig,
     lora_cfg: Optional[LoraConfig],
     dropout_key: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """in_proj (+task LoRA) then split into (z, xBC, dt_raw)."""
-    kernel = params["in_proj"]["kernel"].astype(x.dtype)
-    zxbcdt = x @ kernel
+) -> Dict[str, jax.Array]:
+    """in_proj (+task LoRA) producing the {z, x, bc, dt} column slices of the
+    reference's fused projection."""
+    out = {
+        part: x @ params["in_proj"][part].astype(x.dtype) for part in _PARTS
+    }
     if task is not None and "lora" in params and lora_cfg is not None:
-        zxbcdt = zxbcdt + lora_delta(
-            params["lora"], x, task, lora_cfg, dropout_key=dropout_key
-        )
-    d_inner = cfg.d_inner
-    d_xbc = cfg.d_conv_in
-    z = zxbcdt[..., :d_inner]
-    xBC = zxbcdt[..., d_inner : d_inner + d_xbc]
-    dt_raw = zxbcdt[..., d_inner + d_xbc :]
-    return z, xBC, dt_raw
-
-
-def _split_xbc(xBC: jax.Array, cfg: Mamba2LayerConfig):
-    d_inner, G, N = cfg.d_inner, cfg.ngroups, cfg.d_state
-    xs = xBC[..., :d_inner]
-    Bm = xBC[..., d_inner : d_inner + G * N]
-    Cm = xBC[..., d_inner + G * N :]
-    return xs, Bm, Cm
+        lp = params["lora"]
+        xl = x
+        if dropout_key is not None and lora_cfg.dropout > 0.0:
+            keep = jax.random.bernoulli(dropout_key, 1.0 - lora_cfg.dropout, x.shape)
+            xl = jnp.where(keep, x / (1.0 - lora_cfg.dropout), 0.0).astype(x.dtype)
+        scale = jnp.asarray(lora_cfg.scaling, x.dtype)
+        for i in range(lora_cfg.lora_nums):
+            h = xl @ lp[f"{task}_A"][i].astype(x.dtype)  # (..., r)
+            for part in _PARTS:
+                out[part] = out[part] + (h @ lp[f"{task}_B_{part}"][i].astype(x.dtype)) * scale
+    return out
 
 
 def _dt_activation(dt_raw: jax.Array, dt_bias: jax.Array, cfg: Mamba2LayerConfig):
@@ -146,6 +188,11 @@ def _dt_activation(dt_raw: jax.Array, dt_bias: jax.Array, cfg: Mamba2LayerConfig
     if lo > 0.0 or hi < float("inf"):
         dt = jnp.clip(dt, lo, hi)
     return dt
+
+
+def _split_bc(bc: jax.Array, cfg: Mamba2LayerConfig):
+    gn = cfg.ngroups * cfg.d_state
+    return bc[..., :gn], bc[..., gn:]
 
 
 def mamba2_forward(
@@ -168,14 +215,13 @@ def mamba2_forward(
     B, L, _ = x.shape
     H, P, G, N = cfg.nheads, cfg.headdim, cfg.ngroups, cfg.d_state
 
-    z, xBC_raw, dt_raw = _project_and_split(
-        params, x, task, cfg, lora_cfg, dropout_key
-    )
-    xBC = causal_conv1d(
-        xBC_raw, params["conv"]["weight"], params["conv"]["bias"], activation="silu"
-    )
-    xs, Bm, Cm = _split_xbc(xBC, cfg)
-    dt = _dt_activation(dt_raw, params["dt_bias"], cfg)
+    parts = _project_parts(params, x, task, cfg, lora_cfg, dropout_key)
+    z = parts["z"]
+    conv = params["conv"]
+    xs = causal_conv1d(parts["x"], conv["weight_x"], conv["bias_x"])
+    bc = causal_conv1d(parts["bc"], conv["weight_bc"], conv["bias_bc"])
+    Bm, Cm = _split_bc(bc, cfg)
+    dt = _dt_activation(parts["dt"], params["dt_bias"], cfg)
     A = -jnp.exp(params["A_log"].astype(jnp.float32))
 
     xh = xs.reshape(B, L, H, P)
@@ -203,7 +249,8 @@ def mamba2_forward(
 
     cache = None
     if return_cache:
-        conv_state = conv_state_from_sequence(xBC_raw, cfg.d_conv)
+        xbc_raw = jnp.concatenate([parts["x"], parts["bc"]], axis=-1)
+        conv_state = conv_state_from_sequence(xbc_raw, cfg.d_conv)
         cache = Mamba2Cache(conv_state=conv_state, ssm_state=final_state)
     return out, cache
 
@@ -233,12 +280,16 @@ def mamba2_step(
     B = x_t.shape[0]
     H, P, G, N = cfg.nheads, cfg.headdim, cfg.ngroups, cfg.d_state
 
-    z, xBC_raw, dt_raw = _project_and_split(params, x_t, task, cfg, lora_cfg)
-    xBC, new_conv = causal_conv1d_step(
-        xBC_raw, cache.conv_state, params["conv"]["weight"], params["conv"]["bias"]
-    )
-    xs, Bm, Cm = _split_xbc(xBC, cfg)
-    dt = _dt_activation(dt_raw, params["dt_bias"], cfg)  # (B, H)
+    parts = _project_parts(params, x_t, task, cfg, lora_cfg)
+    z = parts["z"]
+    xbc_raw = jnp.concatenate([parts["x"], parts["bc"]], axis=-1)
+    conv = params["conv"]
+    conv_w = jnp.concatenate([conv["weight_x"], conv["weight_bc"]], axis=-1)
+    conv_b = jnp.concatenate([conv["bias_x"], conv["bias_bc"]], axis=-1)
+    xBC, new_conv = causal_conv1d_step(xbc_raw, cache.conv_state, conv_w, conv_b)
+    xs = xBC[..., : cfg.d_inner]
+    Bm, Cm = _split_bc(xBC[..., cfg.d_inner :], cfg)
+    dt = _dt_activation(parts["dt"], params["dt_bias"], cfg)  # (B, H)
     A = -jnp.exp(params["A_log"].astype(jnp.float32))
 
     y, new_ssm = ssd_step(

@@ -1,9 +1,13 @@
 """Test harness: force an 8-device CPU platform so pjit/shard_map paths are
-exercised without TPU hardware (SURVEY §4 recommendation (d))."""
+exercised without TPU hardware (SURVEY §4 recommendation (d)).
+
+Note: the `axon` TPU plugin overrides the JAX_PLATFORMS env var during jax
+import, so the platform must be forced via jax.config *after* import; the
+host-device-count flag still has to be in XLA_FLAGS *before* import.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +16,7 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache makes repeated test runs cheap
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

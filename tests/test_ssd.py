@@ -116,12 +116,11 @@ def test_mamba2_prefill_then_step_matches_full(task):
     lora_cfg = LoraConfig()
     params = init_mamba2(jax.random.PRNGKey(5), cfg, lora_cfg, n_layer=2)
     # make LoRA B nonzero so the task branch actually matters
-    params["lora"]["t2i_B"] = (
-        jax.random.normal(jax.random.PRNGKey(6), params["lora"]["t2i_B"].shape) * 0.02
-    )
-    params["lora"]["mmu_B"] = (
-        jax.random.normal(jax.random.PRNGKey(7), params["lora"]["mmu_B"].shape) * 0.02
-    )
+    for i, name in enumerate(k for k in params["lora"] if "_B_" in k):
+        params["lora"][name] = (
+            jax.random.normal(jax.random.PRNGKey(6 + i), params["lora"][name].shape)
+            * 0.02
+        )
     B, L, L1 = 2, 20, 15
     x = jax.random.normal(jax.random.PRNGKey(8), (B, L, cfg.d_model))
 
@@ -143,7 +142,7 @@ def test_tasks_diverge_with_nonzero_lora():
     cfg = Mamba2LayerConfig(d_model=16, d_state=8, headdim=4, expand=2, chunk_size=8)
     lora_cfg = LoraConfig()
     params = init_mamba2(jax.random.PRNGKey(9), cfg, lora_cfg, n_layer=2)
-    params["lora"]["t2i_B"] = jnp.ones_like(params["lora"]["t2i_B"]) * 0.05
+    params["lora"]["t2i_B_z"] = jnp.ones_like(params["lora"]["t2i_B_z"]) * 0.05
     x = jax.random.normal(jax.random.PRNGKey(10), (1, 6, cfg.d_model))
     y_t2i, _ = mamba2_forward(params, x, "t2i", cfg, lora_cfg)
     y_mmu, _ = mamba2_forward(params, x, "mmu", cfg, lora_cfg)
