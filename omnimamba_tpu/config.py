@@ -163,9 +163,18 @@ def omnimamba_1_3b(**kw) -> MambaConfig:
     return base.with_mixer(d_model=2048)
 
 
+def omnimamba_tiny(**kw) -> MambaConfig:
+    """Tiny debug/smoke model (no reference analog): full architecture at
+    toy width so CLIs and CI can run end-to-end on CPU."""
+    mixer = Mamba2LayerConfig(d_model=128, d_state=32, headdim=16, chunk_size=32)
+    base = MambaConfig(d_model=128, n_layer=4, mmu_pos_len=1500, mixer=mixer, **kw)
+    return base
+
+
 MODEL_REGISTRY = {
     "OmniMamba-L": omnimamba_l,
     "OmniMamba-1.3B": omnimamba_1_3b,
+    "OmniMamba-Tiny": omnimamba_tiny,
 }
 
 
@@ -276,6 +285,28 @@ class VisionConfig:
     def num_patches(self) -> int:
         assert self.dino.num_patches == self.siglip.num_patches
         return self.dino.num_patches
+
+
+def _dinosiglip_tiny() -> VisionConfig:
+    """Toy dual backbone for CPU smoke runs (no reference analog)."""
+    return VisionConfig(
+        dino=ViTConfig(
+            img_size=56, patch_size=14, width=64, depth=2, num_heads=2,
+            num_reg_tokens=4, layerscale=True,
+        ),
+        siglip=ViTConfig(
+            img_size=56, patch_size=14, width=64, depth=2, num_heads=2,
+            use_cls_token=False,
+        ),
+    )
+
+
+# analog of the reference's VISION_BACKBONES registry
+# (models/cobra/materialize.py:26-65 + dinosiglip_vit.py:20-25)
+VISION_BACKBONES = {
+    "dinosiglip-vit-so-384px": VisionConfig,
+    "dinosiglip-tiny": _dinosiglip_tiny,
+}
 
 
 @dataclass(frozen=True)

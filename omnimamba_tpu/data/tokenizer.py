@@ -146,7 +146,17 @@ def load_text_tokenizer(
     try:
         from transformers import AutoTokenizer
 
-        return AutoTokenizer.from_pretrained(name, model_max_length=model_max_length)
+        try:
+            # fast path: local cache only (avoids minutes of retries offline)
+            return AutoTokenizer.from_pretrained(
+                name, model_max_length=model_max_length, local_files_only=True
+            )
+        except Exception:
+            import os
+
+            if os.environ.get("HF_HUB_OFFLINE") == "1":
+                raise
+            return AutoTokenizer.from_pretrained(name, model_max_length=model_max_length)
     except Exception:
         if not offline_ok:
             raise
