@@ -168,6 +168,7 @@ def backbone_forward(
     scan_impl: str = "chunked",
     return_cache: bool = False,
     dropout_key: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Optional[BackboneCache]]:
     """Full-sequence forward over all layers -> final-normed hidden states.
 
@@ -207,6 +208,11 @@ def backbone_forward(
         )
         emit = cache if return_cache else None
         return (out, new_residual), emit
+
+    if remat:
+        # rematerialize each block on backward: trades FLOPs for HBM on the
+        # 48-layer scan (jax.checkpoint over the scanned body)
+        body = jax.checkpoint(body, prevent_cse=False)
 
     xs = (params["layers"], dropout_keys) if dropout_keys is not None else params["layers"]
     (h, residual), caches = jax.lax.scan(body, (h, residual), xs)

@@ -66,7 +66,7 @@ def generate(
     teacher_outputs: Optional[jax.Array] = None,  # (B, >=max_length) full-seq ids
     key: Optional[jax.Array] = None,
     cfg_scale: Optional[float] = None,
-    scan_impl: str = "chunked",
+    scan_impl: str = "auto",
 ) -> GenerateOutput:
     B, L0 = input_ids.shape
     T_new = max_length - L0

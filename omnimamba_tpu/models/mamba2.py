@@ -228,6 +228,10 @@ def mamba2_forward(
     Bh = Bm.reshape(B, L, G, N)
     Ch = Cm.reshape(B, L, G, N)
 
+    if scan_impl == "auto":
+        # Pallas on TPU (fast compile, fused VMEM pipeline); XLA elsewhere.
+        # Training paths pass "chunked" explicitly (differentiable).
+        scan_impl = "pallas" if jax.default_backend() == "tpu" else "chunked"
     if scan_impl == "chunked":
         y, final_state = ssd_chunked(
             xh, dt, A, Bh, Ch, params["D"], chunk_size=cfg.chunk_size

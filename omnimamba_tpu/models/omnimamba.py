@@ -117,7 +117,7 @@ def t2i_loss(
     *,
     dtype=jnp.bfloat16,
     dropout_key: Optional[jax.Array] = None,
-    scan_impl: str = "chunked",
+    scan_impl: str = "chunked",  # differentiable (pallas fwd has no VJP yet)
 ) -> jax.Array:
     """T2I training step loss (reference omnimamba.py:252-280)."""
     cfg = model.cfg
@@ -208,7 +208,7 @@ def mmu_loss(
     *,
     dtype=jnp.bfloat16,
     dropout_key: Optional[jax.Array] = None,
-    scan_impl: str = "chunked",
+    scan_impl: str = "chunked",  # differentiable (pallas fwd has no VJP yet)
 ) -> jax.Array:
     """MMU training loss (reference omnimamba.py:281-307). Text-only rows get
     zero image embeddings (mmu_uni_ids2embed) — expressed here as a vectorized
@@ -242,7 +242,7 @@ def t2i_generate(
     cfg_scale: Optional[float] = None,
     dtype=jnp.bfloat16,
     decode_image: bool = True,
-    scan_impl: str = "chunked",
+    scan_impl: str = "auto",
 ):
     """Caption ids -> 256 VQ tokens -> image (reference omnimamba.py:311-337).
 
@@ -287,7 +287,7 @@ def mmu_generate(
     eos_token_id: Optional[int] = None,
     key: Optional[jax.Array] = None,
     dtype=jnp.bfloat16,
-    scan_impl: str = "chunked",
+    scan_impl: str = "auto",
 ) -> GenerateOutput:
     """Visual question answering decode (reference scripts/inference_mmu.py:
     embeds = [2 specials | 729 image | rest of text], then generate(task=mmu)).
