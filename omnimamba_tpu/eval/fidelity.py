@@ -1,0 +1,100 @@
+"""Cross-implementation fidelity harness: greedy token-stream matching.
+
+The BASELINE output-fidelity gate is "token-stream match vs reference
+eager-scan greedy decode". This module provides:
+
+- ``greedy_stream``: deterministic greedy decode with a chosen scan impl;
+- ``compare_streams``: first-divergence report between two token streams;
+- ``logit_margin_report``: how close the argmax was to flipping at each
+  step — low margins flag positions where bf16 reordering could diverge
+  (SURVEY §7.3 item 2).
+
+Use against the reference by exporting its greedy tokens (teacher file) and
+replaying with ``teacher_outputs`` for per-position logit comparison.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnimamba_tpu.config import MambaConfig
+from omnimamba_tpu.models.backbone import apply_head, backbone_forward, backbone_step
+from omnimamba_tpu.models.generation import generate
+from omnimamba_tpu.ops.sampling import SampleParams
+
+
+class StreamDiff(NamedTuple):
+    match: bool
+    first_divergence: int  # -1 if identical
+    n_compared: int
+    mismatch_count: int
+
+
+def greedy_stream(
+    params: Dict,
+    cfg: MambaConfig,
+    input_ids: jax.Array,
+    input_embeddings: jax.Array,
+    task: str,
+    max_length: int,
+    scan_impl: str = "auto",
+) -> np.ndarray:
+    out = generate(
+        params, cfg,
+        input_ids=input_ids, input_embeddings=input_embeddings,
+        task=task, max_length=max_length,
+        sample=SampleParams(top_k=1), scan_impl=scan_impl,
+    )
+    return np.asarray(out.sequences)
+
+
+def compare_streams(a: np.ndarray, b: np.ndarray) -> StreamDiff:
+    a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+    n = min(len(a), len(b))
+    neq = a[:n] != b[:n]
+    mismatches = int(neq.sum())
+    first = int(np.argmax(neq)) if mismatches else -1
+    return StreamDiff(
+        match=mismatches == 0 and len(a) == len(b),
+        first_divergence=first,
+        n_compared=n,
+        mismatch_count=mismatches,
+    )
+
+
+def logit_margin_report(
+    params: Dict,
+    cfg: MambaConfig,
+    input_embeddings: jax.Array,
+    token_stream: jax.Array,  # (B, T) full sequence incl. prompt
+    task: str,
+    prompt_len: int,
+    scan_impl: str = "chunked",
+) -> Dict[str, np.ndarray]:
+    """Teacher-forced replay of a stream; per-step margin between the top-2
+    logits (small margin => argmax unstable under numeric reordering)."""
+    hidden, cache = backbone_forward(
+        params, input_embeddings, task, cfg,
+        scan_impl=scan_impl, return_cache=True,
+    )
+    logits = apply_head(params, hidden[:, -1], task)
+    margins, agrees = [], []
+    T = token_stream.shape[1]
+    for t in range(prompt_len, T):
+        top2 = jax.lax.top_k(logits, 2)[0]
+        margins.append(np.asarray(top2[:, 0] - top2[:, 1]))
+        agrees.append(np.asarray(jnp.argmax(logits, -1) == token_stream[:, t]))
+        if t < T - 1:
+            hidden, cache = backbone_step(
+                params, token_stream[:, t], jnp.int32(t), cache, task, cfg,
+                dtype=input_embeddings.dtype,
+            )
+            logits = apply_head(params, hidden, task)
+    return {
+        "margins": np.stack(margins, 1),
+        "argmax_agrees": np.stack(agrees, 1),
+    }
