@@ -102,6 +102,19 @@ def main():
     tps = B * T / dt_mmu
     log(f"MMU decode: {tps:.0f} tok/s/chip (batch {B}, target >=1000)")
 
+    # secondary: int8 weight-only serving path
+    from omnimamba_tpu.ops.quant import quantize_decode_params
+
+    qparams = quantize_decode_params({"mamba": params["mamba"]})
+    emb_q = embed_text(qparams["mamba"], ids, jnp.bfloat16)
+    out = mmu(qparams["mamba"], ids, emb_q)
+    sync(out)
+    t0 = time.time()
+    out = mmu(qparams["mamba"], ids, emb_q)
+    sync(out)
+    tps_q = B * T / (time.time() - t0)
+    log(f"MMU decode int8: {tps_q:.0f} tok/s/chip (batch {B})")
+
     print(
         json.dumps(
             {

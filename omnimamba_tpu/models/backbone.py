@@ -34,6 +34,7 @@ from omnimamba_tpu.config import MambaConfig
 from omnimamba_tpu.models.blocks import block_forward, block_step
 from omnimamba_tpu.models.mamba2 import Mamba2Cache, init_cache, init_mamba2
 from omnimamba_tpu.ops.norms import rms_norm
+from omnimamba_tpu.ops.quant import lookup_any, matmul_any
 
 
 def _linear_init(key, d_in, d_out, dtype, zero_bias=True, scale=1.0):
@@ -107,22 +108,22 @@ def init_backbone(key: jax.Array, cfg: MambaConfig, dtype=jnp.float32) -> Dict:
 
 def _fused_mlp(p: Dict, x: jax.Array) -> jax.Array:
     """FusedMLPProjector forward (nn_utils.py:43-49): Lin-GELU-Lin-GELU-Lin."""
-    h = x @ p["fc1"]["kernel"].astype(x.dtype) + p["fc1"]["bias"].astype(x.dtype)
+    h = matmul_any(x, p["fc1"]["kernel"]) + p["fc1"]["bias"].astype(x.dtype)
     h = jax.nn.gelu(h, approximate=False)
-    h = h @ p["fc2"]["kernel"].astype(x.dtype) + p["fc2"]["bias"].astype(x.dtype)
+    h = matmul_any(h, p["fc2"]["kernel"]) + p["fc2"]["bias"].astype(x.dtype)
     h = jax.nn.gelu(h, approximate=False)
-    h = h @ p["fc3"]["kernel"].astype(x.dtype) + p["fc3"]["bias"].astype(x.dtype)
+    h = matmul_any(h, p["fc3"]["kernel"]) + p["fc3"]["bias"].astype(x.dtype)
     return h
 
 
 def embed_text(params: Dict, ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    return params["embedding"][ids].astype(dtype)
+    return lookup_any(params["embedding"], ids, dtype)
 
 
 def embed_image_tokens(params: Dict, ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     """img_embeddings: table lookup + FusedMLP project_in
     (GPT2Embeddings.forward, mixer_seq_simple.py:73-88 with project_in)."""
-    e = params["img_embeddings"]["word_embeddings"][ids].astype(dtype)
+    e = lookup_any(params["img_embeddings"]["word_embeddings"], ids, dtype)
     return _fused_mlp(params["img_embeddings"]["project_in"], e)
 
 
@@ -294,7 +295,4 @@ def apply_head(params: Dict, hidden: jax.Array, task: str) -> jax.Array:
         table = params["embedding"]
     else:
         raise ValueError(task)
-    return jnp.einsum(
-        "...d,vd->...v", hidden, table.astype(hidden.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    return matmul_any(hidden, table, transpose=True, out_dtype=jnp.float32)

@@ -67,7 +67,12 @@ def generate(
     key: Optional[jax.Array] = None,
     cfg_scale: Optional[float] = None,
     scan_impl: str = "auto",
+    cache_dtype=None,
 ) -> GenerateOutput:
+    """``cache_dtype``: carry the SSM state in this dtype during decode
+    (default fp32 — the reference's precision; bf16 halves the dominant HBM
+    traffic of batched decode, ~1.5x throughput at B>=16, with greedy streams
+    typically unchanged — verify per-model with eval/fidelity.py)."""
     B, L0 = input_ids.shape
     T_new = max_length - L0
     assert T_new > 0, "max_length must exceed prompt length"
@@ -83,6 +88,8 @@ def generate(
         scan_impl=scan_impl,
         return_cache=True,
     )
+    if cache_dtype is not None:
+        cache = cache._replace(ssm_state=cache.ssm_state.astype(cache_dtype))
     logits0 = apply_head(params, hidden[:, -1], task)  # (B, V) fp32
 
     def _combine_cfg(logits):

@@ -45,6 +45,7 @@ from omnimamba_tpu.ops.conv import (
     conv_state_from_sequence,
 )
 from omnimamba_tpu.ops.norms import gated_rms_norm
+from omnimamba_tpu.ops.quant import matmul_any
 from omnimamba_tpu.ops.ssd_chunked import ssd_chunked
 from omnimamba_tpu.ops.ssd_reference import ssd_scan_reference, ssd_step
 
@@ -165,9 +166,7 @@ def _project_parts(
 ) -> Dict[str, jax.Array]:
     """in_proj (+task LoRA) producing the {z, x, bc, dt} column slices of the
     reference's fused projection."""
-    out = {
-        part: x @ params["in_proj"][part].astype(x.dtype) for part in _PARTS
-    }
+    out = {part: matmul_any(x, params["in_proj"][part]) for part in _PARTS}
     if task is not None and "lora" in params and lora_cfg is not None:
         lp = params["lora"]
         xl = x
@@ -249,7 +248,7 @@ def mamba2_forward(
 
     y = y.reshape(B, L, cfg.d_inner)
     y = gated_rms_norm(y, z, params["norm"]["weight"], cfg.norm_eps)
-    out = y @ params["out_proj"]["kernel"].astype(y.dtype)
+    out = matmul_any(y, params["out_proj"])
 
     cache = None
     if return_cache:
@@ -307,5 +306,5 @@ def mamba2_step(
     )
     y = y.reshape(B, cfg.d_inner)
     y = gated_rms_norm(y, z, params["norm"]["weight"], cfg.norm_eps)
-    out = y @ params["out_proj"]["kernel"].astype(y.dtype)
+    out = matmul_any(y, params["out_proj"])
     return out, Mamba2Cache(conv_state=new_conv, ssm_state=new_ssm)

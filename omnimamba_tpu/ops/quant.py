@@ -1,0 +1,136 @@
+"""Weight-only int8 quantization for the decode path.
+
+Single-chip batched decode of the 1.3B is HBM-bound on weight reads
+(~2.9 GB bf16 per token step). Symmetric per-output-channel int8 halves
+that: XLA fuses the int8->bf16 upcast into the matmul's weight read, and the
+per-channel scale is applied to the matmul *output* (mathematically exact
+for per-out-channel scales), so the only approximation is the 8-bit rounding
+of the weights.
+
+No reference analog (the reference serves bf16); this is a TPU-native
+serving feature. Quantized entries replace ``{"kernel": w}`` with
+``{"q": int8, "scale": f32}``; ``matmul_any``/``lookup_any`` dispatch on the
+entry structure so model code is quantization-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_linear(w: jax.Array, reduce_axes: Sequence[int]) -> Dict[str, jax.Array]:
+    """Symmetric int8 with one scale per kept (output) channel.
+
+    reduce_axes: the input/contraction axes of the kernel (e.g. (0,) for an
+    (in, out) kernel; (1,) for stacked (L, in, out)).
+    """
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=tuple(reduce_axes), keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": jnp.squeeze(scale, axis=tuple(reduce_axes))}
+
+
+def is_quantized(entry: Dict) -> bool:
+    return isinstance(entry, dict) and "q" in entry
+
+
+def matmul_any(x: jax.Array, entry, *, transpose: bool = False, out_dtype=None) -> jax.Array:
+    """x @ kernel (or kernel.T), dense or quantized.
+
+    entry: array | {"kernel": w} | {"q","scale"}; quantized kernels upcast in
+    the matmul and scale on the output (per-out-channel => exact refactoring).
+    With ``transpose`` the kernel is (out, in)-like tables (weight-tied
+    heads): scale is per *row* and still lands on the output axis.
+    """
+    out_dtype = out_dtype or x.dtype
+    if isinstance(entry, dict) and "kernel" in entry:
+        entry = entry["kernel"]  # {"kernel": array | {"q","scale"}}
+    if isinstance(entry, dict):
+        k = entry["q"]
+        k = k.T if transpose else k
+        y = jnp.einsum(
+            "...i,io->...o", x, k.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return (y * entry["scale"].astype(jnp.float32)).astype(out_dtype)
+    w = entry.T if transpose else entry
+    return jnp.einsum(
+        "...i,io->...o", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+def lookup_any(entry, ids: jax.Array, dtype) -> jax.Array:
+    """Embedding-table row lookup, dense or per-row-quantized."""
+    if isinstance(entry, dict) and "q" in entry:
+        rows = entry["q"][ids].astype(dtype)
+        return rows * entry["scale"][ids][..., None].astype(dtype)
+    table = entry["kernel"] if isinstance(entry, dict) else entry
+    return table[ids].astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# whole-model quantization for decode
+# ---------------------------------------------------------------------------
+
+# paths quantized for serving: the per-step weight traffic dominators
+_QUANT_RULES = [
+    # (path substring, contraction axes given the stacked leading layer dim)
+    ("layers/mixer/in_proj/", (1,)),
+    ("layers/mixer/out_proj/kernel", (1,)),
+]
+_QUANT_TABLES = ["mamba/embedding", "img_embeddings/word_embeddings"]
+_QUANT_MLPS = [
+    "img_embeddings/project_in/fc1/kernel",
+    "img_embeddings/project_in/fc2/kernel",
+    "img_embeddings/project_in/fc3/kernel",
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for e in path:
+        if hasattr(e, "key"):
+            parts.append(str(e.key))
+        elif hasattr(e, "idx"):
+            parts.append(str(e.idx))
+    return "/".join(parts)
+
+
+def quantize_decode_params(params: Dict) -> Dict:
+    """Return params with the decode-dominant kernels int8-quantized.
+
+    Structure-preserving: quantized leaves become {"q","scale"} subtrees at
+    the same positions; ``matmul_any``/``lookup_any`` in the model consume
+    either form, so the same forward code serves both.
+    """
+
+    def walk(tree, prefix=""):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                p = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, jnp.ndarray) or hasattr(v, "shape"):
+                    out[k] = _maybe_quant_leaf(p, v)
+                else:
+                    out[k] = walk(v, p)
+            return out
+        return tree
+
+    def _maybe_quant_leaf(path, leaf):
+        for pat, axes in _QUANT_RULES:
+            if pat in path:
+                return quantize_linear(leaf, axes)
+        for pat in _QUANT_TABLES:
+            if path.startswith(pat) or path.endswith(pat.split("/")[-1]):
+                if path.endswith("embedding") or "word_embeddings" in path:
+                    return quantize_linear(leaf, (1,))  # (V, d): per-row
+        for pat in _QUANT_MLPS:
+            if pat in path:
+                return quantize_linear(leaf, (0,))
+        return leaf
+
+    return walk(params)

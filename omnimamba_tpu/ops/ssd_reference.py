@@ -96,8 +96,10 @@ def ssd_step(
 
     decay = jnp.exp(dtf * A.astype(jnp.float32))  # (B,H)
     dBx = jnp.einsum("bhp,bhn->bhpn", dtf[..., None] * xf, Bf)
-    new_state = state * decay[..., None, None] + dBx
+    new_state = state.astype(jnp.float32) * decay[..., None, None] + dBx
     y = jnp.einsum("bhpn,bhn->bhp", new_state, Cf)
     if D is not None:
         y = y + xf * D.astype(jnp.float32)[None, :, None]
-    return y.astype(x_t.dtype), new_state
+    # state dtype follows the carried cache (fp32 default; bf16 halves the
+    # dominant HBM traffic of batched decode at some fidelity cost)
+    return y.astype(x_t.dtype), new_state.astype(state.dtype)
