@@ -113,6 +113,12 @@ class MambaConfig:
     norm_eps: float = 1e-5
     tie_embeddings: bool = True
 
+    # dormant options kept for config-surface parity
+    # (attn_layer_idx/attn_cfg, config_mamba.py:17-18; d_intermediate=0 above)
+    attn_layer_idx: Tuple[int, ...] = ()
+    attn_num_heads: int = 16
+    attn_rotary_dim: int = 0
+
     # task switches (gate construction of img/text extras,
     # reference config_mamba.py:38-39)
     t2i_task: bool = True

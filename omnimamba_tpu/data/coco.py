@@ -86,6 +86,15 @@ def coco_collate(examples: List[Tuple[np.ndarray, np.ndarray]]) -> Dict[str, np.
     }
 
 
+def coco_eval_collate(examples) -> Dict[str, object]:
+    """{"caption_ids": (B,72) prefix ids, "caption": list[str]}
+    (coco_eval_collate_fn, coco_dataset.py:71-77)."""
+    return {
+        "caption_ids": np.stack([e[0] for e in examples]),
+        "caption": [e[1] for e in examples],
+    }
+
+
 def make_synthetic_coco_jsonl(
     path: str, n: int = 64, num_tokens: int = 256, vocab: int = 16384, seed: int = 0
 ) -> str:

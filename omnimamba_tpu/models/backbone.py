@@ -89,14 +89,42 @@ def init_backbone(key: jax.Array, cfg: MambaConfig, dtype=jnp.float32) -> Dict:
         )
 
     layer_keys = jax.random.split(k[9], cfg.n_layer)
-    layers = [
-        {
-            "norm": {"weight": jnp.ones((d,), dtype)},
-            "mixer": init_mamba2(layer_keys[i], cfg.mixer, cfg.lora, cfg.n_layer, dtype),
-        }
-        for i in range(cfg.n_layer)
-    ]
-    params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    n_res = 1 if cfg.d_intermediate == 0 else 2
+
+    def make_layer(i):
+        if i in cfg.attn_layer_idx:
+            from omnimamba_tpu.ops.attention import init_mha
+
+            layer = {
+                "norm": {"weight": jnp.ones((d,), dtype)},
+                "mixer": init_mha(layer_keys[i], d, dtype),
+            }
+        else:
+            layer = {
+                "norm": {"weight": jnp.ones((d,), dtype)},
+                "mixer": init_mamba2(
+                    layer_keys[i], cfg.mixer, cfg.lora, cfg.n_layer, dtype
+                ),
+            }
+        if cfg.d_intermediate > 0:
+            from omnimamba_tpu.ops.attention import init_gated_mlp
+
+            layer["norm2"] = {"weight": jnp.ones((d,), dtype)}
+            layer["mlp"] = init_gated_mlp(
+                jax.random.fold_in(layer_keys[i], 1), d, cfg.d_intermediate, dtype
+            )
+            # GPT-2 rescale of fc2 with 2 residuals/layer (mixer_seq_simple
+            # _init_weights: n_residuals_per_layer=2 when MLP present)
+            layer["mlp"]["fc2"]["kernel"] = layer["mlp"]["fc2"]["kernel"] / jnp.sqrt(
+                jnp.asarray(n_res * cfg.n_layer, dtype)
+            )
+        return layer
+
+    layers = [make_layer(i) for i in range(cfg.n_layer)]
+    if cfg.attn_layer_idx:
+        params["layers"] = layers  # heterogeneous: keep as a list
+    else:
+        params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     params["norm_f"] = {"weight": jnp.ones((d,), dtype)}
     return params
 
@@ -170,12 +198,15 @@ def backbone_forward(
     return_cache: bool = False,
     dropout_key: Optional[jax.Array] = None,
     remat: bool = False,
+    attn_max_len: Optional[int] = None,
 ) -> Tuple[jax.Array, Optional[BackboneCache]]:
     """Full-sequence forward over all layers -> final-normed hidden states.
 
     Mirrors MixerModel.forward's embeddings-in branch
     (mixer_seq_simple.py:378-386,404-437): mmu adds mmu_pos_embed[:, :L];
-    t2i positions were already added by the caller.
+    t2i positions were already added by the caller. A heterogeneous layer
+    list (attn_layer_idx) takes the Python-loop path; the homogeneous stack
+    runs under lax.scan.
     """
     B, L, d = embeddings.shape
     h = embeddings
@@ -183,6 +214,14 @@ def backbone_forward(
         h = h + params["mmu_pos_embed"][:, :L].astype(h.dtype)
 
     residual = jnp.zeros_like(h, dtype=jnp.float32)
+
+    if isinstance(params["layers"], (list, tuple)):
+        return _het_forward(
+            params, h, residual, task, cfg,
+            scan_impl=scan_impl, return_cache=return_cache,
+            dropout_key=dropout_key, attn_max_len=attn_max_len,
+            out_dtype=embeddings.dtype,
+        )
 
     if dropout_key is not None:
         dropout_keys = jax.random.split(dropout_key, cfg.n_layer)
@@ -230,6 +269,47 @@ def backbone_forward(
     return final, out_cache
 
 
+def _het_forward(
+    params, h, residual, task, cfg, *, scan_impl, return_cache,
+    dropout_key, attn_max_len, out_dtype,
+):
+    caches = []
+    for i, layer_params in enumerate(params["layers"]):
+        lt = "mha" if i in cfg.attn_layer_idx else "mamba2"
+        dkey = (
+            jax.random.fold_in(dropout_key, i) if dropout_key is not None else None
+        )
+        h, residual, cache = block_forward(
+            layer_params, h, residual, task, cfg.mixer, cfg.lora,
+            norm_eps=cfg.norm_eps, scan_impl=scan_impl,
+            return_cache=return_cache, dropout_key=dkey,
+            layer_type=lt, attn_num_heads=cfg.attn_num_heads,
+            attn_rotary_dim=cfg.attn_rotary_dim, attn_max_len=attn_max_len,
+        )
+        caches.append(cache)
+    final = rms_norm(
+        (h.astype(jnp.float32) + residual), params["norm_f"]["weight"], cfg.norm_eps
+    ).astype(out_dtype)
+    return final, (caches if return_cache else None)
+
+
+def _het_step(params, h, residual, caches, task, cfg, dtype):
+    new_caches = []
+    for i, layer_params in enumerate(params["layers"]):
+        lt = "mha" if i in cfg.attn_layer_idx else "mamba2"
+        h, residual, cache = block_step(
+            layer_params, h, residual, caches[i], task, cfg.mixer, cfg.lora,
+            norm_eps=cfg.norm_eps, layer_type=lt,
+            attn_num_heads=cfg.attn_num_heads,
+            attn_rotary_dim=cfg.attn_rotary_dim,
+        )
+        new_caches.append(cache)
+    final = rms_norm(
+        (h.astype(jnp.float32) + residual), params["norm_f"]["weight"], cfg.norm_eps
+    ).astype(dtype)
+    return final, new_caches
+
+
 def backbone_step(
     params: Dict,
     token_ids: jax.Array,  # (B,) next-token ids
@@ -261,6 +341,9 @@ def backbone_step(
         raise ValueError(task)
 
     residual = jnp.zeros_like(h, dtype=jnp.float32)
+
+    if isinstance(params["layers"], (list, tuple)):
+        return _het_step(params, h, residual, cache, task, cfg, dtype)
 
     def body(carry, xs):
         h, residual = carry

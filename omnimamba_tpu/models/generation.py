@@ -87,8 +87,9 @@ def generate(
         cfg,
         scan_impl=scan_impl,
         return_cache=True,
+        attn_max_len=max_length,  # KV capacity for any attn layers
     )
-    if cache_dtype is not None:
+    if cache_dtype is not None and hasattr(cache, "_replace"):
         cache = cache._replace(ssm_state=cache.ssm_state.astype(cache_dtype))
     logits0 = apply_head(params, hidden[:, -1], task)  # (B, V) fp32
 

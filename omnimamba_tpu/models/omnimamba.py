@@ -227,6 +227,28 @@ def mmu_loss(
     return _shift_and_ce(logits, full_labels)
 
 
+def lm_loss(
+    params: Dict,
+    model: OmniMambaModel,
+    input_ids: jax.Array,  # (B, T) from UniversalPrompting.lm_prompt
+    labels: jax.Array,  # (B, T)
+    *,
+    dtype=jnp.bfloat16,
+    dropout_key: Optional[jax.Array] = None,
+    scan_impl: str = "chunked",
+) -> jax.Array:
+    """Pure language-modeling loss (the 'lm' task of UniversalPrompting,
+    prompting_utils.py:168-202): text-only sequence through the mmu head,
+    no image splice, no mmu positional table."""
+    emb = embed_text(params["mamba"], input_ids, dtype)
+    hidden, _ = backbone_forward(
+        params["mamba"], emb, "mmu", model.cfg,
+        add_mmu_pos=False, scan_impl=scan_impl, dropout_key=dropout_key,
+    )
+    logits = apply_head(params["mamba"], hidden, "mmu")
+    return _shift_and_ce(logits, labels.astype(jnp.int32))
+
+
 # ---------------------------------------------------------------------------
 # inference
 # ---------------------------------------------------------------------------

@@ -124,6 +124,23 @@ def shard_batch(mesh, batch):
     return jax.tree.map(put, batch)
 
 
+class MetricsWriter:
+    """JSONL metrics sink (offline-friendly analog of the reference's wandb
+    logging via HF Trainer, SURVEY §5.5)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = open(path, "a", buffering=1)
+
+    def log(self, step: int, metrics: dict):
+        import json
+
+        self._fh.write(json.dumps({"step": step, **metrics}) + "\n")
+
+    def close(self):
+        self._fh.close()
+
+
 class Trainer:
     """The training loop (max_steps, logging, checkpoint cadence), mirroring
     the reference CLI behaviour (train_stage2.py + HF Trainer loop)."""
@@ -139,6 +156,8 @@ class Trainer:
         dtype=jnp.bfloat16,
         checkpoint_manager=None,
         log_fn=print,
+        metrics_writer=None,
+        eval_loader=None,
     ):
         self.model = model
         self.cfg = cfg
@@ -146,6 +165,9 @@ class Trainer:
         self.mesh = mesh
         self.log_fn = log_fn
         self.checkpoint_manager = checkpoint_manager
+        self.metrics_writer = metrics_writer
+        self.eval_loader = eval_loader
+        self.dtype = dtype
         self.state, self.tx = create_train_state(params, cfg)
         self.step_fn = make_train_step(model, self.tx, cfg, mesh=mesh, dtype=dtype)
 
@@ -173,6 +195,33 @@ class Trainer:
                         f"gnorm {m['grad_norm']:.3f} "
                         f"{self.cfg.logging_steps / max(dt, 1e-9):.2f} it/s"
                     )
+                if self.metrics_writer is not None and step % self.cfg.logging_steps == 0:
+                    self.metrics_writer.log(step, {k: float(v) for k, v in metrics.items()})
                 if self.checkpoint_manager is not None and step % self.cfg.save_steps == 0:
                     self.checkpoint_manager.save(step, self.state)
         return self.state, metrics
+
+    def evaluate(self, metric_key_prefix: str = "eval"):
+        """Average t2i loss over the eval loader (a working version of the
+        reference Stage2Trainer.evaluate, trainer.py:134-150, whose
+        accumulator is buggy there)."""
+        from omnimamba_tpu.models.omnimamba import t2i_loss
+
+        assert self.eval_loader is not None, "no eval loader configured"
+        loss_fn = jax.jit(
+            lambda p, img, cap: t2i_loss(p, self.model, img, cap, dtype=self.dtype)
+        )
+        total, n = 0.0, 0
+        for batch in self.eval_loader:
+            loss = loss_fn(
+                self.state.params,
+                jnp.asarray(batch["inputs"]),
+                jnp.asarray(batch["caption_ids"]),
+            )
+            total += float(loss)
+            n += 1
+        metrics = {f"{metric_key_prefix}_loss": total / max(n, 1)}
+        self.log_fn(str(metrics))
+        if self.metrics_writer is not None:
+            self.metrics_writer.log(int(self.state.step), metrics)
+        return metrics

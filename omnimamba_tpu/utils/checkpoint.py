@@ -49,6 +49,40 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def lora_state(params: Any) -> Any:
+    """LoRA-only sub-pytree — the analog of get_peft_model_state_dict
+    (reference lora.py:27-70, bias='none' branch: keys containing 'lora')."""
+    import jax
+
+    def keep(path, leaf):
+        names = [str(getattr(e, "key", "")) for e in path]
+        return leaf if any("lora" in n for n in names) else None
+
+    tree = jax.tree_util.tree_map_with_path(keep, params)
+
+    def prune(t):
+        if isinstance(t, dict):
+            out = {k: prune(v) for k, v in t.items()}
+            return {k: v for k, v in out.items() if v is not None} or None
+        return t
+
+    return prune(tree) or {}
+
+
+def merge_lora_state(params: Any, lora: Any) -> Any:
+    """Overlay a LoRA-only tree back onto full params."""
+
+    def merge(dst, src):
+        if isinstance(src, dict):
+            out = dict(dst)
+            for k, v in src.items():
+                out[k] = merge(dst[k], v) if k in dst else v
+            return out
+        return src
+
+    return merge(params, lora)
+
+
 def find_latest_run_dir(output_dir: str) -> Optional[str]:
     """Newest timestamped run directory (util/data.py:8-20 semantics)."""
     if not os.path.isdir(output_dir):
