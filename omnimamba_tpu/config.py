@@ -307,11 +307,43 @@ def _dinosiglip_tiny() -> VisionConfig:
     )
 
 
+def clip_vit_l_336() -> ViTConfig:
+    """clip-vit-l-336px (clip_vit.py registry entry): quick-gelu CLIP-L/14."""
+    return ViTConfig(
+        img_size=336, patch_size=14, width=1024, depth=24, num_heads=16,
+        num_reg_tokens=0, use_cls_token=True, layerscale=False,
+        mean=(0.4815, 0.4578, 0.4082), std=(0.2686, 0.2613, 0.2758),
+    )
+
+
+def in1k_vit_l() -> ViTConfig:
+    """in1k-vit-l (in1k_vit.py): ViT-L/16 @224 supervised."""
+    return ViTConfig(
+        img_size=224, patch_size=16, width=1024, depth=24, num_heads=16,
+        num_reg_tokens=0, use_cls_token=True, layerscale=False,
+    )
+
+
+def _single(name_cfg):
+    def make():
+        # single-featurizer "fusion": second slot empty width handled by
+        # VisionConfig consumers via dino-only concat
+        return VisionConfig(dino=name_cfg(), siglip=name_cfg())
+
+    return make
+
+
 # analog of the reference's VISION_BACKBONES registry
-# (models/cobra/materialize.py:26-65 + dinosiglip_vit.py:20-25)
+# (models/cobra/materialize.py:26-65 + dinosiglip_vit.py:20-25). The shipped
+# model uses only dinosiglip-vit-so-384px; single-tower entries are exposed
+# with the same ViT engine for parity with clip/siglip/dinov2/in1k ids.
 VISION_BACKBONES = {
     "dinosiglip-vit-so-384px": VisionConfig,
     "dinosiglip-tiny": _dinosiglip_tiny,
+    "clip-vit-l-336px": _single(clip_vit_l_336),
+    "siglip-vit-so400m-384px": _single(siglip_so400m_384),
+    "dinov2-vit-l-384px": _single(dinov2_l_reg4_384),
+    "in1k-vit-l-224px": _single(in1k_vit_l),
 }
 
 

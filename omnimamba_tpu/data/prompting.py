@@ -164,6 +164,19 @@ class UniversalPrompting:
             labs.append(lab)
         return np.stack(seqs), np.stack(masks), np.stack(labs)
 
+    def lvg_prompt(
+        self, text_ids: List[List[int]], image_ids: np.ndarray, labels: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Long-video/generation variant — same layout as t2i_prompt
+        (prompting_utils.py:272-325)."""
+        return self.t2i_prompt(text_ids, image_ids, labels)
+
+    def lvg_gen_prompt(
+        self, text_ids: List[List[int]], image_ids: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(prompting_utils.py:327-358)."""
+        return self.t2i_gen_prompt(text_ids, image_ids)
+
     # ------------------------------------------------------------------
     def __call__(self, inputs, task: str, padding: bool = True, config=None):
         """Dispatcher (prompting_utils.py:363-422)."""
@@ -179,4 +192,10 @@ class UniversalPrompting:
         if task == "mmu":
             text_ids = self.text_tokenizer(inputs[1])["input_ids"]
             return self.mmu_prompt(inputs[0], text_ids)
+        if task == "lvg":
+            text_ids = self.text_tokenizer(inputs[0])["input_ids"]
+            return self.lvg_prompt(text_ids, inputs[1], inputs[2])
+        if task == "lvg_gen":
+            text_ids = self.text_tokenizer(inputs[0])["input_ids"]
+            return self.lvg_gen_prompt(text_ids, inputs[1])
         raise NotImplementedError(task)
