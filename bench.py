@@ -34,8 +34,16 @@ def sync(x):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("OMNIMAMBA_JAX_CACHE", "/tmp/omnimamba_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from omnimamba_tpu.config import MambaConfig, VisionConfig, VQConfig
     from omnimamba_tpu.models.backbone import init_backbone, embed_text
@@ -59,7 +67,7 @@ def main():
     n_params = sum(x.size for x in jax.tree.leaves(params["mamba"]))
     log(f"init {n_params/1e9:.2f}B params in {time.time()-t0:.0f}s")
 
-    B = 16  # serving batch per chip
+    B = 32  # serving batch per chip (sweep: peak bf16 throughput)
     rng = np.random.default_rng(0)
     text_ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 72)), jnp.int32)
 
@@ -102,10 +110,17 @@ def main():
     tps = B * T / dt_mmu
     log(f"MMU decode: {tps:.0f} tok/s/chip (batch {B}, target >=1000)")
 
-    # secondary: int8 weight-only serving path
+    # secondary: int8 weight-only serving path (T2I + MMU)
     from omnimamba_tpu.ops.quant import quantize_decode_params
 
-    qparams = quantize_decode_params({"mamba": params["mamba"]})
+    qparams = quantize_decode_params(params)
+    imgs = gen(qparams, text_ids)
+    sync(imgs)
+    t0 = time.time()
+    imgs = gen(qparams, text_ids)
+    sync(imgs)
+    log(f"T2I int8: {B/(time.time()-t0):.2f} img/s/chip (batch {B})")
+
     emb_q = embed_text(qparams["mamba"], ids, jnp.bfloat16)
     out = mmu(qparams["mamba"], ids, emb_q)
     sync(out)

@@ -35,6 +35,12 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("OMNIMAMBA_JAX_CACHE", "/tmp/omnimamba_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from omnimamba_tpu.config import TrainConfig
@@ -52,7 +58,7 @@ def main():
     from omnimamba_tpu.factory import build_model
     from omnimamba_tpu.parallel.mesh import create_mesh
     from omnimamba_tpu.parallel.sharding import shard_params
-    from omnimamba_tpu.train.trainer import Trainer
+    from omnimamba_tpu.train.trainer import MetricsWriter, Trainer
     from omnimamba_tpu.utils.checkpoint import CheckpointManager
 
     cfg = TrainConfig.from_yaml(args.config) if os.path.exists(args.config) else TrainConfig()
@@ -132,9 +138,10 @@ def main():
                 yield preprocess(b)
 
     ckpt = CheckpointManager(os.path.join(out_dir, "ckpts"), cfg.save_total_limit)
+    metrics = MetricsWriter(os.path.join(out_dir, "metrics.jsonl"))
     trainer = Trainer(
         model, params, cfg, PreprocLoader(combined),
-        mesh=mesh, checkpoint_manager=ckpt,
+        mesh=mesh, checkpoint_manager=ckpt, metrics_writer=metrics,
     )
     if cfg.resume_dir:
         mgr = CheckpointManager(os.path.join(cfg.resume_dir, "ckpts"))
