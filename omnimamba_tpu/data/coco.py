@@ -86,6 +86,45 @@ def coco_collate(examples: List[Tuple[np.ndarray, np.ndarray]]) -> Dict[str, np.
     }
 
 
+class MSCOCODatabase:
+    """Raw-image COCO dataset: center-crop + [-1,1] floats + captions.
+
+    Reference: ``coco_dataset.py:27-59`` (pycocotools-based). This version
+    parses the captions annotation JSON directly ({"images": [...],
+    "annotations": [...]}) — no pycocotools dependency — and keeps the same
+    item contract: (image (size,size,3) float32 CHW-free NHWC in [-1,1],
+    [caption, ...]).
+    """
+
+    def __init__(self, root: str, ann_file: str, size: int = 256):
+        import os
+
+        self.root = root
+        self.size = size
+        with open(ann_file) as f:
+            ann = json.load(f)
+        self.files = {img["id"]: img["file_name"] for img in ann["images"]}
+        self.captions: Dict[int, List[str]] = {}
+        for a in ann["annotations"]:
+            self.captions.setdefault(a["image_id"], []).append(a["caption"])
+        self.keys = sorted(self.files)
+        self._join = os.path.join
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    def __getitem__(self, index: int):
+        from PIL import Image
+
+        from omnimamba_tpu.data.transforms import center_crop_resize
+
+        key = self.keys[index]
+        img = Image.open(self._join(self.root, self.files[key])).convert("RGB")
+        arr = center_crop_resize(np.asarray(img, np.uint8), self.size)
+        image = arr.astype(np.float32) / 127.5 - 1.0  # (size, size, 3) NHWC
+        return image, list(self.captions.get(key, []))
+
+
 def coco_eval_collate(examples) -> Dict[str, object]:
     """{"caption_ids": (B,72) prefix ids, "caption": list[str]}
     (coco_eval_collate_fn, coco_dataset.py:71-77)."""

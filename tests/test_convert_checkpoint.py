@@ -87,9 +87,7 @@ def test_mamba_conversion_structure_and_fusion():
     np.testing.assert_array_equal(
         np.concatenate(
             [
-                params["layers"]["conv_dummy"]
-                if False
-                else params["layers"]["mixer"]["conv"]["weight_x"][0],
+                params["layers"]["mixer"]["conv"]["weight_x"][0],
                 params["layers"]["mixer"]["conv"]["weight_bc"][0],
             ],
             axis=-1,
