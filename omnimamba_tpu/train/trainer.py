@@ -171,7 +171,33 @@ class Trainer:
         self.state, self.tx = create_train_state(params, cfg)
         self.step_fn = make_train_step(model, self.tx, cfg, mesh=mesh, dtype=dtype)
 
-    def train(self, resume_step: int = 0, max_steps: Optional[int] = None):
+    def train(
+        self,
+        resume_step: int = 0,
+        max_steps: Optional[int] = None,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (10, 15),
+    ):
+        """Run the loop. ``profile_dir`` captures a jax.profiler trace over
+        the [start, stop) step window (SURVEY §5.1 TPU equivalent). On any
+        exception an emergency checkpoint is written before re-raising
+        (failure-recovery affordance the reference lacks, SURVEY §5.3)."""
+        try:
+            return self._train_inner(resume_step, max_steps, profile_dir, profile_steps)
+        except BaseException:
+            if self.checkpoint_manager is not None:
+                try:
+                    self.checkpoint_manager.save(
+                        int(self.state.step), self.state, wait=True
+                    )
+                    self.log_fn(
+                        f"[emergency] saved checkpoint at step {int(self.state.step)}"
+                    )
+                except Exception as e:  # noqa: BLE001
+                    self.log_fn(f"[emergency] checkpoint save failed: {e}")
+            raise
+
+    def _train_inner(self, resume_step, max_steps, profile_dir, profile_steps):
         max_steps = max_steps or self.cfg.max_steps
         key = jax.random.PRNGKey(self.cfg.seed)
         step = resume_step
@@ -181,10 +207,14 @@ class Trainer:
             for batch in self.loader:
                 if step >= max_steps:
                     break
+                if profile_dir is not None and step == profile_steps[0]:
+                    jax.profiler.start_trace(profile_dir)
                 key, sub = jax.random.split(key)
                 batch = shard_batch(self.mesh, batch)
                 self.state, metrics = self.step_fn(self.state, batch, sub)
                 step += 1
+                if profile_dir is not None and step == profile_steps[1]:
+                    jax.profiler.stop_trace()
                 if step % self.cfg.logging_steps == 0 or step == 1:
                     m = {k: float(v) for k, v in metrics.items()}
                     dt = time.time() - t_last
