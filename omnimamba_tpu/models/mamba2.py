@@ -243,6 +243,13 @@ def mamba2_forward(
         y, final_state = ssd_pallas(
             xh, dt, A, Bh, Ch, params["D"], chunk_size=cfg.chunk_size
         )
+    elif scan_impl == "pallas_ad":
+        # differentiable fused kernel (custom VJP): training-capable Pallas
+        from omnimamba_tpu.ops.ssd_pallas_bwd import ssd_pallas_ad
+
+        y, final_state = ssd_pallas_ad(
+            xh, dt, A, Bh, Ch, params["D"], cfg.chunk_size, None, None
+        )
     else:
         raise ValueError(f"unknown scan_impl {scan_impl}")
 

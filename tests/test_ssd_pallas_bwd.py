@@ -1,0 +1,71 @@
+"""Custom-VJP Pallas SSD backward vs XLA autodiff of the chunked scan."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnimamba_tpu.ops.ssd_chunked import ssd_chunked
+from omnimamba_tpu.ops.ssd_pallas_bwd import ssd_pallas_ad
+from tests.test_ssd import _random_ssd_inputs
+
+ARGS = dict(B=2, L=48, H=4, P=8, G=2, N=16)
+
+
+def _grads(fn, x, dt, A, Bm, Cm, D, wy, wstate):
+    def loss(x, dt, A, Bm, Cm, D):
+        y, state = fn(x, dt, A, Bm, Cm, D)
+        return jnp.sum(y.astype(jnp.float32) * wy) + jnp.sum(state * wstate)
+
+    return jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(x, dt, A, Bm, Cm, D)
+
+
+@pytest.mark.parametrize("Q", [16, 48])
+def test_pallas_bwd_matches_autodiff(Q):
+    x, dt, A, Bm, Cm, D = _random_ssd_inputs(jax.random.PRNGKey(0), **ARGS)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    wy = jax.random.normal(k1, x.shape)
+    wstate = jax.random.normal(k2, (ARGS["B"], ARGS["H"], ARGS["P"], ARGS["N"]))
+
+    ref = _grads(
+        functools.partial(ssd_chunked, chunk_size=Q), x, dt, A, Bm, Cm, D, wy, wstate
+    )
+    got = _grads(
+        functools.partial(
+            ssd_pallas_ad, chunk_size=Q, head_tile=2, interpret=True
+        ),
+        x, dt, A, Bm, Cm, D, wy, wstate,
+    )
+    names = ["dx", "ddt", "dA", "dB", "dC", "dD"]
+    for n, r, g in zip(names, ref, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-3, atol=2e-3, err_msg=n
+        )
+
+
+def test_pallas_bwd_no_state_cotangent():
+    """Loss through y only (the training path)."""
+    x, dt, A, Bm, Cm, D = _random_ssd_inputs(jax.random.PRNGKey(2), **ARGS)
+
+    def loss(fn):
+        def f(x):
+            y, _ = fn(x, dt, A, Bm, Cm, D)
+            return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+        return jax.grad(f)(x)
+
+    ref = loss(functools.partial(ssd_chunked, chunk_size=16))
+    got = loss(
+        functools.partial(ssd_pallas_ad, chunk_size=16, head_tile=2, interpret=True)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_ad_forward_matches():
+    x, dt, A, Bm, Cm, D = _random_ssd_inputs(jax.random.PRNGKey(3), **ARGS)
+    y1, s1 = ssd_chunked(x, dt, A, Bm, Cm, D, chunk_size=16)
+    y2, s2 = ssd_pallas_ad(x, dt, A, Bm, Cm, D, 16, 2, True)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=2e-4, atol=2e-4)
