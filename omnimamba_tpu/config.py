@@ -401,6 +401,12 @@ class TrainConfig:
     num_workers: int = 16
     # TPU-native additions (no reference analog; DP-only there, SURVEY §2.4)
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"dp": 1, "tp": 1})
+    # SSD kernel for the training forward/backward:
+    #   auto -> fused Pallas custom-VJP on TPU, chunked-XLA elsewhere
+    scan_impl: str = "auto"
+    # gradient checkpointing over the 48-block scan (trades ~30% step time
+    # for O(1)-in-depth activation memory)
+    remat: bool = True
 
     @classmethod
     def from_yaml(cls, path: str) -> "TrainConfig":

@@ -117,7 +117,8 @@ def t2i_loss(
     *,
     dtype=jnp.bfloat16,
     dropout_key: Optional[jax.Array] = None,
-    scan_impl: str = "chunked",  # differentiable (pallas fwd has no VJP yet)
+    scan_impl: str = "chunked",  # or "pallas_ad" (fused custom-VJP kernel)
+    remat: bool = False,
 ) -> jax.Array:
     """T2I training step loss (reference omnimamba.py:252-280)."""
     cfg = model.cfg
@@ -138,7 +139,8 @@ def t2i_loss(
     L = emb.shape[1]
     emb = emb + params["mamba"]["pos_embed"][:, :L].astype(dtype)
     hidden, _ = backbone_forward(
-        params["mamba"], emb, "t2i", cfg, scan_impl=scan_impl, dropout_key=dropout_key
+        params["mamba"], emb, "t2i", cfg,
+        scan_impl=scan_impl, dropout_key=dropout_key, remat=remat,
     )
     logits = apply_head(params["mamba"], hidden, "t2i")
     return _shift_and_ce(logits, labels)
@@ -208,7 +210,8 @@ def mmu_loss(
     *,
     dtype=jnp.bfloat16,
     dropout_key: Optional[jax.Array] = None,
-    scan_impl: str = "chunked",  # differentiable (pallas fwd has no VJP yet)
+    scan_impl: str = "chunked",  # or "pallas_ad" (fused custom-VJP kernel)
+    remat: bool = False,
 ) -> jax.Array:
     """MMU training loss (reference omnimamba.py:281-307). Text-only rows get
     zero image embeddings (mmu_uni_ids2embed) — expressed here as a vectorized
@@ -221,7 +224,7 @@ def mmu_loss(
     )
     hidden, _ = backbone_forward(
         params["mamba"], emb, "mmu", model.cfg,
-        scan_impl=scan_impl, dropout_key=dropout_key,
+        scan_impl=scan_impl, dropout_key=dropout_key, remat=remat,
     )
     logits = apply_head(params["mamba"], hidden, "mmu")
     return _shift_and_ce(logits, full_labels)

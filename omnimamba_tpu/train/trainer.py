@@ -48,7 +48,7 @@ def make_train_step(
     *,
     mesh=None,
     dtype=jnp.bfloat16,
-    scan_impl: str = "chunked",
+    scan_impl: Optional[str] = None,
     donate: bool = True,
 ):
     """Returns step(state, batch, key) -> (state, metrics), jitted; sharded
@@ -61,6 +61,12 @@ def make_train_step(
                     "multimodal_mask": (B,) bool},
     } — the reference's flow names (trainer.py:102-107).
     """
+    if scan_impl is None:
+        scan_impl = cfg.scan_impl
+    if scan_impl == "auto":
+        # fused Pallas fwd+bwd on TPU (17x faster compiles, no decay-tensor
+        # residuals); differentiable chunked-XLA elsewhere
+        scan_impl = "pallas_ad" if jax.default_backend() == "tpu" else "chunked"
 
     def loss_fn(params, batch, key):
         k1, k2 = jax.random.split(key)
@@ -75,6 +81,7 @@ def make_train_step(
                 dtype=dtype,
                 dropout_key=k1,
                 scan_impl=scan_impl,
+                remat=cfg.remat,
             )
         if cfg.mmu_task and "mmu_flow" in batch:
             mmu = batch["mmu_flow"]
@@ -88,6 +95,7 @@ def make_train_step(
                 dtype=dtype,
                 dropout_key=k2,
                 scan_impl=scan_impl,
+                remat=cfg.remat,
             )
         loss = loss_t2i + loss_mmu  # summed (trainer.py:121)
         return loss, {"loss_t2i": loss_t2i, "loss_mmu": loss_mmu}

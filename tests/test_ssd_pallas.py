@@ -38,3 +38,29 @@ def test_pallas_bf16_activations():
     np.testing.assert_allclose(
         np.asarray(y16, np.float32), np.asarray(y32), rtol=0.1, atol=0.1
     )
+
+
+def test_pallas_prefill_cache_continuation():
+    """Mixer prefill with the Pallas scan -> recurrent steps == full forward."""
+    import numpy as np
+
+    from omnimamba_tpu.config import LoraConfig, Mamba2LayerConfig
+    from omnimamba_tpu.models.mamba2 import init_mamba2, mamba2_forward, mamba2_step
+
+    cfg = Mamba2LayerConfig(d_model=32, d_state=16, headdim=8, expand=2, chunk_size=8)
+    lora = LoraConfig()
+    params = init_mamba2(jax.random.PRNGKey(0), cfg, lora, n_layer=2)
+    B, L, L1 = 1, 20, 13
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, L, cfg.d_model))
+    y_full, _ = mamba2_forward(params, x, "mmu", cfg, lora, scan_impl="reference")
+    y_pre, cache = mamba2_forward(
+        params, x[:, :L1], "mmu", cfg, lora, scan_impl="pallas", return_cache=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_pre), np.asarray(y_full[:, :L1]), rtol=1e-4, atol=1e-4
+    )
+    for t in range(L1, L):
+        y_t, cache = mamba2_step(params, x[:, t], cache, "mmu", cfg, lora)
+        np.testing.assert_allclose(
+            np.asarray(y_t), np.asarray(y_full[:, t]), rtol=1e-4, atol=1e-4
+        )
