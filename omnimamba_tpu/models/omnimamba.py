@@ -268,6 +268,7 @@ def t2i_generate(
     dtype=jnp.bfloat16,
     decode_image: bool = True,
     scan_impl: str = "auto",
+    cache_dtype=None,
 ):
     """Caption ids -> 256 VQ tokens -> image (reference omnimamba.py:311-337).
 
@@ -291,6 +292,7 @@ def t2i_generate(
         key=key,
         cfg_scale=cfg_scale,
         scan_impl=scan_impl,
+        cache_dtype=cache_dtype,
     )
     tokens = out.sequences[:, L0:]
     if cfg_scale is not None:
@@ -313,6 +315,7 @@ def mmu_generate(
     key: Optional[jax.Array] = None,
     dtype=jnp.bfloat16,
     scan_impl: str = "auto",
+    cache_dtype=None,
 ) -> GenerateOutput:
     """Visual question answering decode (reference scripts/inference_mmu.py:
     embeds = [2 specials | 729 image | rest of text], then generate(task=mmu)).
@@ -342,4 +345,5 @@ def mmu_generate(
         eos_token_id=eos_token_id,
         key=key,
         scan_impl=scan_impl,
+        cache_dtype=cache_dtype,
     )
