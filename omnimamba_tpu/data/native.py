@@ -124,16 +124,42 @@ class NativeCocoReader:
             pass
 
 
+class NativeCocoLoader:
+    """DataLoader-compatible epoch iterator over the native reader:
+    shuffled index batches -> zero-copy C++ batch fill -> caption-block
+    packing. Drop-in for data/loader.DataLoader in the t2i flow."""
+
+    def __init__(self, dataset: "NativeCocoDataset", batch_size: int, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.dataset) // self.batch_size
+
+    def __iter__(self):
+        n = len(self)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        idx = rng.permutation(len(self.dataset))
+        epoch = self.epoch
+        self.epoch += 1
+        for b in range(n):
+            sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            yield self.dataset.read_batch(sel, epoch=epoch)
+
+
 class NativeCocoDataset:
     """Drop-in fast path for MSCOCOFeatureDataset (train mode): batched
     access via the native reader + host tokenization of the chosen caption."""
 
-    def __init__(self, path: str, uni_prompting, seed: int = 0):
+    def __init__(self, path: str, uni_prompting, seed: int = 0, num_tokens: int = 256):
         from omnimamba_tpu.data.coco import MSCOCOFeatureDataset
 
         self.reader = NativeCocoReader(path)
         self.uni = uni_prompting
         self.seed = seed
+        self.num_tokens = num_tokens
         # reuse the caption-block packer for layout fidelity
         self._py = MSCOCOFeatureDataset.__new__(MSCOCOFeatureDataset)
         self._py.uni_prompting = uni_prompting
@@ -149,7 +175,7 @@ class NativeCocoDataset:
 
     def read_batch(self, indices: np.ndarray, epoch: int = 0):
         tokens, captions = self.reader.read_batch(
-            indices, seed=self.seed + epoch * 0x9E3779B9
+            indices, num_tokens=self.num_tokens, seed=self.seed + epoch * 0x9E3779B9
         )
         blocks = np.stack([self._py._caption_block(c) for c in captions])
         return {"inputs": tokens.astype(np.int64), "caption_ids": blocks}

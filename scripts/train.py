@@ -79,8 +79,19 @@ def main():
             path = os.path.join(out_dir, "synthetic_coco.jsonl")
             make_synthetic_coco_jsonl(path, n=max(cfg.batch_size_t2i * 4, 64))
             print(f"[data] synthetic t2i jsonl at {path}")
-        ds = MSCOCOFeatureDataset(path, uni)
-        loaders["t2i_flow"] = DataLoader(ds, cfg.batch_size_t2i, coco_collate)
+        from omnimamba_tpu.data.native import (
+            NativeCocoDataset,
+            NativeCocoLoader,
+            native_available,
+        )
+
+        if native_available():
+            nds = NativeCocoDataset(path, uni)
+            loaders["t2i_flow"] = NativeCocoLoader(nds, cfg.batch_size_t2i)
+            print("[data] t2i via native mmap reader (libomnidata)")
+        else:
+            ds = MSCOCOFeatureDataset(path, uni)
+            loaders["t2i_flow"] = DataLoader(ds, cfg.batch_size_t2i, coco_collate)
     if cfg.mmu_task:
         ann = None
         if args.synthetic_data:
