@@ -123,8 +123,9 @@ def make_optimizer(params: Dict, cfg: TrainConfig, stage: Optional[str] = None):
     tmask = trainable_mask(params, stage, cfg)
     dmask = jax.tree.map(lambda t, d: bool(t and d), tmask, decay_mask(params))
 
-    tx = optax.chain(
-        optax.clip_by_global_norm(1.0),  # HF Trainer default max_grad_norm
+    inner = optax.chain(
+        # clip over trainable grads only (HF clips requires_grad params)
+        optax.clip_by_global_norm(1.0),
         optax.adamw(
             learning_rate=schedule,
             b1=cfg.beta1,
@@ -134,11 +135,13 @@ def make_optimizer(params: Dict, cfg: TrainConfig, stage: Optional[str] = None):
             mask=dmask,
         ),
     )
-    # zero updates for frozen params (their grads may be nonzero since we
-    # differentiate the whole tree; masking keeps semantics + optimizer
-    # state small is not needed as adamw state is per-leaf anyway)
+    # optax.masked: frozen params get no optimizer state (MaskedNode) — in
+    # the align stage that shrinks Adam moments from the full 1.3B to just
+    # LoRA + embedding extras. masked() passes non-masked updates through
+    # untouched, so frozen leaves are explicitly zeroed after.
+    not_tmask = jax.tree.map(lambda t: not t, tmask)
     tx = optax.chain(
-        optax.masked(optax.set_to_zero(), jax.tree.map(lambda t: not t, tmask)),
-        tx,
+        optax.masked(inner, tmask),
+        optax.masked(optax.set_to_zero(), not_tmask),
     )
     return tx, schedule, tmask
