@@ -1,0 +1,181 @@
+"""MMU benchmark runners: POPE / GQA / VQAv2-style evaluation loops.
+
+The reference reports POPE 86.3, GQA 60.8, VQAv2 77.7, MME-P 1290.6, MMMU
+30.6 (README teaser, SURVEY §6) but ships no eval code — the numbers come
+from external harnesses. These runners provide the standard protocols
+natively:
+
+- ``run_vqa_eval``: batched image+question greedy decode over a JSONL
+  manifest [{image, question, answer(s)}], returning per-item predictions.
+- ``pope_metrics``: yes/no accuracy, precision, recall, F1 (POPE protocol).
+- ``vqa_accuracy``: VQAv2 soft accuracy (min(#matching-annotators/3, 1)).
+- ``exact_match``: GQA-style normalized exact match.
+
+Dataset manifests are plain JSONL so any of the benchmark suites can be
+exported into the same shape.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import string
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+
+def _normalize(ans: str) -> str:
+    ans = ans.lower().strip()
+    ans = re.sub(rf"[{re.escape(string.punctuation)}]", "", ans)
+    ans = re.sub(r"\b(a|an|the)\b", " ", ans)
+    return " ".join(ans.split())
+
+
+def exact_match(pred: str, answer: str) -> bool:
+    """GQA-style normalized exact match."""
+    return _normalize(pred) == _normalize(answer)
+
+
+def vqa_accuracy(pred: str, answers: Sequence[str]) -> float:
+    """VQAv2 soft accuracy: min(matches/3, 1) over the 10 annotator answers."""
+    p = _normalize(pred)
+    matches = sum(1 for a in answers if _normalize(a) == p)
+    return min(matches / 3.0, 1.0)
+
+
+def _to_yes_no(pred: str) -> Optional[str]:
+    p = _normalize(pred)
+    if p.startswith("yes"):
+        return "yes"
+    if p.startswith("no"):
+        return "no"
+    return None
+
+
+def pope_metrics(preds: Sequence[str], answers: Sequence[str]) -> Dict[str, float]:
+    """POPE object-hallucination protocol: binary yes/no accuracy/P/R/F1
+    (unparseable predictions count as wrong, following the official script)."""
+    tp = fp = tn = fn = 0
+    for pred, ans in zip(preds, answers):
+        y = _to_yes_no(pred)
+        a = _normalize(ans)
+        if a == "yes":
+            if y == "yes":
+                tp += 1
+            else:
+                fn += 1
+        else:
+            if y == "no" or y is None:
+                tn += 1 if y == "no" else 0
+                fp += 0 if y == "no" else 1
+            else:
+                fp += 1
+    total = len(preds)
+    acc = (tp + tn) / max(total, 1)
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    yes_ratio = sum(1 for p in preds if _to_yes_no(p) == "yes") / max(total, 1)
+    return {
+        "accuracy": acc, "precision": prec, "recall": rec, "f1": f1,
+        "yes_ratio": yes_ratio, "total": float(total),
+    }
+
+
+def load_manifest(path: str) -> List[Dict]:
+    """JSONL rows: {"image": path, "question": str,
+    "answer": str | "answers": [str, ...]}."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
+def run_vqa_eval(
+    params,
+    model,
+    uni,
+    manifest: Iterable[Dict],
+    *,
+    image_root: str = ".",
+    max_new_tokens: int = 32,
+    conversation_template: str = "phi1.5",
+    dtype=None,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> List[Dict]:
+    """Greedy-decode answers for each manifest row (inference_mmu semantics:
+    phi1.5 wrap, feature splice, eos stop). Returns rows + {"prediction"}.
+    """
+    import os
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from omnimamba_tpu.data.conversation import conv_templates
+    from omnimamba_tpu.data.transforms import dinosiglip_transform
+    from omnimamba_tpu.models.omnimamba import mmu_generate, mmu_image_features
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    sp = model.sptids
+    eos = int(uni.text_tokenizer.eos_token_id)
+    rows = list(manifest)
+    out = []
+    feats_cache: Dict[str, object] = {}
+    for i, row in enumerate(rows):
+        img_path = os.path.join(image_root, row["image"])
+        if img_path not in feats_cache:
+            img = Image.open(img_path).convert("RGB")
+            raw = jnp.asarray(np.asarray(img, np.uint8))[None]
+            pix = dinosiglip_transform(raw, model.vision_cfg)
+            feats_cache.clear()  # keep one image resident
+            feats_cache[img_path] = mmu_image_features(params, model, pix)
+        feats = feats_cache[img_path]
+
+        conv = conv_templates[conversation_template].copy()
+        conv.append_message(conv.roles[0], row["question"])
+        conv.append_message(conv.roles[1], None)
+        ids = list(uni.text_tokenizer(conv.get_prompt().strip())["input_ids"])
+        input_ids = np.asarray(
+            [[sp["<|mmu|>"], sp["<|soi|>"], sp["<|eoi|>"], sp["<|sot|>"]] + ids],
+            np.int32,
+        )
+        prompt_total = input_ids.shape[1] + feats.shape[1]
+        gen = mmu_generate(
+            params, model, jnp.asarray(input_ids), feats,
+            max_length=prompt_total + max_new_tokens,
+            eos_token_id=eos, dtype=dtype,
+        )
+        n = int(gen.num_generated)
+        pred_ids = np.asarray(gen.sequences)[0, prompt_total:][:n]
+        pred = uni.text_tokenizer.decode(pred_ids, skip_special_tokens=True)
+        out.append({**row, "prediction": pred})
+        if progress:
+            progress(i + 1, len(rows))
+    return out
+
+
+def score_manifest(rows: List[Dict], protocol: str) -> Dict[str, float]:
+    """Aggregate predictions per protocol: pope | gqa | vqav2."""
+    if protocol == "pope":
+        return pope_metrics(
+            [r["prediction"] for r in rows], [r["answer"] for r in rows]
+        )
+    if protocol == "gqa":
+        acc = float(
+            np.mean([exact_match(r["prediction"], r["answer"]) for r in rows])
+        )
+        return {"accuracy": acc, "total": float(len(rows))}
+    if protocol == "vqav2":
+        acc = float(
+            np.mean(
+                [vqa_accuracy(r["prediction"], r.get("answers") or [r["answer"]] * 10)
+                 for r in rows]
+            )
+        )
+        return {"accuracy": acc, "total": float(len(rows))}
+    raise ValueError(protocol)

@@ -96,7 +96,7 @@ def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
     import scipy.linalg
 
     diff = mu1 - mu2
-    covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    covmean = scipy.linalg.sqrtm(sigma1 @ sigma2)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1 + sigma2 - 2 * covmean))

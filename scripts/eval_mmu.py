@@ -1,0 +1,66 @@
+"""MMU benchmark CLI: run POPE/GQA/VQAv2 protocols over a JSONL manifest.
+
+Usage:
+    python scripts/eval_mmu.py --manifest pope_coco.jsonl --protocol pope \
+        [--image-root datasets/coco] [--ckpt weights] [--max-new-tokens 16]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--manifest", required=True)
+    parser.add_argument("--protocol", required=True, choices=["pope", "gqa", "vqav2"])
+    parser.add_argument("--image-root", default=".")
+    parser.add_argument("--config", default="config/config_stage2.yaml")
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--max-new-tokens", type=int, default=16)
+    parser.add_argument("--out", default=None, help="write predictions JSONL")
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("OMNIMAMBA_JAX_CACHE", "/tmp/omnimamba_jax_cache"),
+    )
+    import jax.numpy as jnp
+
+    from omnimamba_tpu.config import TrainConfig
+    from omnimamba_tpu.eval.mmu_benchmarks import (
+        load_manifest,
+        run_vqa_eval,
+        score_manifest,
+    )
+    from omnimamba_tpu.factory import build_model
+
+    cfg = TrainConfig.from_yaml(args.config) if os.path.exists(args.config) else TrainConfig()
+    if args.ckpt:
+        cfg.omnimamba_ckpt = args.ckpt
+    model, params, uni = build_model(cfg, stage="inference", dtype=jnp.bfloat16)
+
+    rows = load_manifest(args.manifest)
+    rows = run_vqa_eval(
+        params, model, uni, rows,
+        image_root=args.image_root, max_new_tokens=args.max_new_tokens,
+        progress=lambda i, n: print(f"\r{i}/{n}", end="", file=sys.stderr),
+    )
+    print(file=sys.stderr)
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    print(json.dumps(score_manifest(rows, args.protocol), indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""MMU benchmark runners + T2I FID pipeline."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnimamba_tpu.eval.mmu_benchmarks import (
+    exact_match,
+    load_manifest,
+    pope_metrics,
+    run_vqa_eval,
+    score_manifest,
+    vqa_accuracy,
+)
+from omnimamba_tpu.eval.t2i_fid import compute_fid, generate_samples, vq_encoder_features
+from omnimamba_tpu.data.prompting import UniversalPrompting
+from omnimamba_tpu.data.tokenizer import OfflineTokenizer
+from tests.test_omnimamba import tiny_model
+
+
+def test_metric_functions():
+    assert exact_match("The Cat!", "cat")
+    assert not exact_match("dog", "cat")
+    assert vqa_accuracy("blue", ["blue"] * 4 + ["red"] * 6) == 1.0
+    assert vqa_accuracy("blue", ["blue", "red", "red"] + ["green"] * 7) == pytest.approx(1 / 3)
+    m = pope_metrics(["Yes, there is", "no", "yes", "maybe"], ["yes", "no", "no", "no"])
+    assert m["total"] == 4 and 0 <= m["f1"] <= 1
+    assert m["accuracy"] == pytest.approx(2 / 4)  # yes/ correct, no correct, yes wrong, maybe->wrong? maybe counts fp
+
+
+def test_vqa_eval_loop(tmp_path):
+    from PIL import Image
+
+    model = tiny_model()
+    from omnimamba_tpu.models.omnimamba import init_omnimamba
+
+    params = init_omnimamba(jax.random.PRNGKey(0), model)
+    # sptids of tiny_model are arbitrary ints; build a matching prompting stub
+    tok = OfflineTokenizer(base_vocab=49)
+    uni = UniversalPrompting(tok)
+    # remap model sptids onto the stub's (ids don't matter for random weights)
+    model = model._replace(sptids=uni.sptids_dict)
+
+    img_path = tmp_path / "img.png"
+    Image.fromarray(
+        (np.random.default_rng(0).random((28, 28, 3)) * 255).astype(np.uint8)
+    ).save(img_path)
+    manifest_path = tmp_path / "m.jsonl"
+    with open(manifest_path, "w") as f:
+        for q, a in [("is there a cat", "yes"), ("is there a dog", "no")]:
+            f.write(json.dumps({"image": "img.png", "question": q, "answer": a}) + "\n")
+
+    rows = load_manifest(str(manifest_path))
+    # note: sptids ids exceed the tiny vocab; clamp through a small wrapper
+    # is unnecessary — embedding lookup clips via jnp take mode... use ids
+    # under vocab instead:
+    model = model._replace(
+        sptids={k: (v % model.cfg.vocab_size) for k, v in uni.sptids_dict.items()}
+    )
+    out = run_vqa_eval(
+        params, model, uni, rows, image_root=str(tmp_path),
+        max_new_tokens=4, dtype=jnp.float32,
+    )
+    assert len(out) == 2 and all("prediction" in r for r in out)
+    s = score_manifest(out, "pope")
+    assert "f1" in s
+    s = score_manifest(out, "gqa")
+    assert "accuracy" in s
+
+
+def test_t2i_fid_pipeline(tmp_path):
+    model = tiny_model()
+    from omnimamba_tpu.models.omnimamba import init_omnimamba
+
+    params = init_omnimamba(jax.random.PRNGKey(0), model)
+    tok = OfflineTokenizer(base_vocab=49)
+    uni = UniversalPrompting(tok)
+    model = model._replace(
+        sptids={k: (v % model.cfg.vocab_size) for k, v in uni.sptids_dict.items()}
+    )
+    # tiny model: 16 tokens -> 8x8 images
+    imgs = generate_samples(
+        params, model, uni, ["a cat", "a dog", "a bird"],
+        batch_size=2, dtype=jnp.float32, out_dir=str(tmp_path / "samples"),
+    )
+    assert imgs.shape == (3, 8, 8, 3) and imgs.dtype == np.uint8
+    import os
+
+    assert len(os.listdir(tmp_path / "samples")) == 3
+
+    feat = vq_encoder_features(params["vq"], model.vq_cfg)
+    rng = np.random.default_rng(0)
+    ref = rng.integers(0, 256, (6, 8, 8, 3)).astype(np.uint8)
+    fid_self = compute_fid(ref, ref.copy(), feat, batch_size=3)
+    other = rng.integers(0, 256, (6, 8, 8, 3)).astype(np.uint8)
+    fid_other = compute_fid(ref, other, feat, batch_size=3)
+    assert fid_self < 1e-6
+    assert fid_other >= fid_self
