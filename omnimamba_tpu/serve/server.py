@@ -1,0 +1,253 @@
+"""Batched inference server — the production-serving runtime.
+
+No reference analog (its de-facto inference API is two CLI scripts, SURVEY
+L7); serving is a first-class goal of this framework. Design:
+
+- one **batching worker** per task owns the TPU: requests queue up and are
+  packed into a fixed serving batch (static shapes => one compiled program
+  per task; short prompts pad, spare slots repeat the last row), amortizing
+  the weight-bandwidth-bound decode across concurrent requests — the same
+  effect that takes MMU decode from ~200 tok/s single-stream to >2000 tok/s
+  at B=32 on one v5e chip;
+- a stdlib ThreadingHTTPServer front end (zero extra deps):
+    POST /v1/t2i {"prompt": str}                  -> {"image_png_b64": ...}
+    POST /v1/mmu {"image_png_b64": str, "question": str} -> {"text": ...}
+    GET  /healthz
+- max_wait_ms bounds tail latency when traffic is sparse.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class _Request:
+    payload: Dict
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Dict] = None
+    error: Optional[str] = None
+
+
+class _Batcher(threading.Thread):
+    def __init__(self, name: str, run_batch, max_batch: int, max_wait_ms: float):
+        super().__init__(daemon=True, name=f"batcher-{name}")
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self.run_batch = run_batch
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._stop = threading.Event()
+
+    def submit(self, payload: Dict, timeout: float = 120.0) -> Dict:
+        req = _Request(payload)
+        self.queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("batch worker timeout")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def stop(self):
+        self._stop.set()
+
+    def run(self):
+        while not self._stop.is_set():
+            try:
+                first = self.queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.time() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                results = self.run_batch([r.payload for r in batch])
+                for r, res in zip(batch, results):
+                    r.result = res
+                    r.done.set()
+            except Exception as e:  # noqa: BLE001
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+                    r.done.set()
+
+
+class OmniMambaService:
+    """Owns params + compiled generate programs; called by the batchers."""
+
+    def __init__(self, model, params, uni, *, t2i_batch=8, mmu_batch=8,
+                 mmu_max_new=64, dtype=None, cache_dtype=None):
+        import jax.numpy as jnp
+
+        self.model = model
+        self.params = params
+        self.uni = uni
+        self.dtype = dtype or jnp.bfloat16
+        self.cache_dtype = cache_dtype
+        self.t2i_batch = t2i_batch
+        self.mmu_batch = mmu_batch
+        self.mmu_max_new = mmu_max_new
+        self._seed = np.random.default_rng(0)
+
+    # --- t2i ---------------------------------------------------------------
+    def t2i_batch_fn(self, payloads: List[Dict]) -> List[Dict]:
+        import jax
+        import jax.numpy as jnp
+
+        from omnimamba_tpu.data.coco import MAX_CAPTION_TOKENS
+        from omnimamba_tpu.data.transforms import from_vq_range
+        from omnimamba_tpu.models.omnimamba import t2i_generate
+        from omnimamba_tpu.ops.sampling import SampleParams
+
+        sp = self.uni.sptids_dict
+        n_real = len(payloads)
+        prompts = [p.get("prompt", "") for p in payloads]
+        while len(prompts) < self.t2i_batch:
+            prompts.append(prompts[-1])
+
+        def block(caption):
+            ids = np.asarray(self.uni.text_tokenizer(caption)["input_ids"], np.int64)
+            pad = np.full(MAX_CAPTION_TOKENS, self.uni.pad_id, np.int64)
+            n = min(len(ids), MAX_CAPTION_TOKENS)
+            if n:
+                pad[-n:] = ids[:n]
+            return np.concatenate(
+                [[sp["<|t2i|>"], sp["<|sot|>"]], pad, [sp["<|eot|>"], sp["<|soi|>"]]]
+            )
+
+        text_ids = jnp.asarray(np.stack([block(p) for p in prompts]), jnp.int32)
+        top_k = int(payloads[0].get("top_k", 1))
+        imgs, _ = t2i_generate(
+            self.params, self.model, text_ids,
+            sample=SampleParams(
+                top_k=top_k,
+                temperature=float(payloads[0].get("temperature", 1.0)),
+            ),
+            key=jax.random.PRNGKey(int(self._seed.integers(1 << 31))),
+            dtype=self.dtype, cache_dtype=self.cache_dtype,
+        )
+        arr = np.asarray(from_vq_range(imgs))[:n_real]
+        out = []
+        for img in arr:
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            out.append({"image_png_b64": base64.b64encode(buf.getvalue()).decode()})
+        return out
+
+    # --- mmu ---------------------------------------------------------------
+    def mmu_batch_fn(self, payloads: List[Dict]) -> List[Dict]:
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from omnimamba_tpu.data.conversation import conv_templates
+        from omnimamba_tpu.data.transforms import dinosiglip_transform
+        from omnimamba_tpu.models.omnimamba import mmu_generate, mmu_image_features
+
+        sp = self.model.sptids
+        eos = int(self.uni.text_tokenizer.eos_token_id)
+        n_real = len(payloads)
+        rows = list(payloads)
+        while len(rows) < self.mmu_batch:
+            rows.append(rows[-1])
+
+        raws = []
+        id_rows = []
+        for p in rows:
+            img = Image.open(io.BytesIO(base64.b64decode(p["image_png_b64"]))).convert("RGB")
+            side = self.model.vision_cfg.dino.img_size
+            raws.append(np.asarray(img.resize((side, side)), np.uint8))
+            conv = conv_templates["phi1.5"].copy()
+            conv.append_message(conv.roles[0], p.get("question", "Describe the image."))
+            conv.append_message(conv.roles[1], None)
+            ids = list(self.uni.text_tokenizer(conv.get_prompt().strip())["input_ids"])
+            id_rows.append(
+                [sp["<|mmu|>"], sp["<|soi|>"], sp["<|eoi|>"], sp["<|sot|>"]] + ids
+            )
+        max_len = max(len(r) for r in id_rows)
+        pad_id = int(self.uni.pad_id)
+        ids_arr = np.full((len(rows), max_len), pad_id, np.int32)
+        for i, r in enumerate(id_rows):
+            ids_arr[i, : len(r)] = r  # right-pad; eos ends decode
+
+        pix = dinosiglip_transform(jnp.asarray(np.stack(raws)), self.model.vision_cfg)
+        feats = mmu_image_features(self.params, self.model, pix)
+        total = ids_arr.shape[1] + feats.shape[1]
+        gen = mmu_generate(
+            self.params, self.model, jnp.asarray(ids_arr), feats,
+            max_length=total + self.mmu_max_new,
+            eos_token_id=eos, dtype=self.dtype, cache_dtype=self.cache_dtype,
+        )
+        n = int(gen.num_generated)
+        seqs = np.asarray(gen.sequences)[:, total:]
+        out = []
+        for i in range(n_real):
+            toks = seqs[i][:n]
+            if eos in toks.tolist():
+                toks = toks[: toks.tolist().index(eos)]
+            out.append({"text": self.uni.text_tokenizer.decode(toks, skip_special_tokens=True)})
+        return out
+
+
+def make_server(
+    service: OmniMambaService,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    max_wait_ms: float = 20.0,
+) -> ThreadingHTTPServer:
+    t2i_batcher = _Batcher("t2i", service.t2i_batch_fn, service.t2i_batch, max_wait_ms)
+    mmu_batcher = _Batcher("mmu", service.mmu_batch_fn, service.mmu_batch, max_wait_ms)
+    t2i_batcher.start()
+    mmu_batcher.start()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: Dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok"})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/v1/t2i":
+                    self._json(200, t2i_batcher.submit(payload))
+                elif self.path == "/v1/mmu":
+                    self._json(200, mmu_batcher.submit(payload))
+                else:
+                    self._json(404, {"error": "not found"})
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.t2i_batcher = t2i_batcher  # type: ignore[attr-defined]
+    server.mmu_batcher = mmu_batcher  # type: ignore[attr-defined]
+    return server

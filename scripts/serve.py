@@ -1,0 +1,70 @@
+"""Serving CLI: batched T2I + MMU inference over HTTP.
+
+Usage:
+    python scripts/serve.py [--port 8000] [--t2i-batch 8] [--mmu-batch 8] \
+        [--ckpt weights] [--int8] [--config config/config_stage2.yaml]
+
+Endpoints:
+    GET  /healthz
+    POST /v1/t2i {"prompt": "..."}                        -> image PNG b64
+    POST /v1/mmu {"image_png_b64": "...", "question": "..."} -> text
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--config", default="config/config_stage2.yaml")
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--t2i-batch", type=int, default=8)
+    parser.add_argument("--mmu-batch", type=int, default=8)
+    parser.add_argument("--mmu-max-new", type=int, default=64)
+    parser.add_argument("--max-wait-ms", type=float, default=20.0)
+    parser.add_argument("--int8", action="store_true", help="int8 weight-only serving")
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("OMNIMAMBA_JAX_CACHE", "/tmp/omnimamba_jax_cache"),
+    )
+    import jax.numpy as jnp
+
+    from omnimamba_tpu.config import TrainConfig
+    from omnimamba_tpu.factory import build_model
+    from omnimamba_tpu.serve.server import OmniMambaService, make_server
+
+    cfg = TrainConfig.from_yaml(args.config) if os.path.exists(args.config) else TrainConfig()
+    if args.ckpt:
+        cfg.omnimamba_ckpt = args.ckpt
+    model, params, uni = build_model(cfg, stage="inference", dtype=jnp.bfloat16)
+    if args.int8:
+        from omnimamba_tpu.ops.quant import quantize_decode_params
+
+        params = quantize_decode_params(params)
+        print("[serve] int8 weight-only quantization on")
+
+    service = OmniMambaService(
+        model, params, uni,
+        t2i_batch=args.t2i_batch, mmu_batch=args.mmu_batch,
+        mmu_max_new=args.mmu_max_new,
+    )
+    server = make_server(service, args.host, args.port, args.max_wait_ms)
+    print(f"[serve] listening on {args.host}:{args.port} "
+          f"(t2i batch {args.t2i_batch}, mmu batch {args.mmu_batch})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Serving layer: batched HTTP inference end-to-end (tiny model, in-process
+server, real sockets)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnimamba_tpu.data.prompting import UniversalPrompting
+from omnimamba_tpu.data.tokenizer import OfflineTokenizer
+from omnimamba_tpu.models.omnimamba import init_omnimamba
+from omnimamba_tpu.serve.server import OmniMambaService, make_server
+from tests.test_omnimamba import tiny_model
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = tiny_model()
+    params = init_omnimamba(jax.random.PRNGKey(0), model)
+    uni = UniversalPrompting(OfflineTokenizer(base_vocab=49))
+    model = model._replace(
+        sptids={k: v % model.cfg.vocab_size for k, v in uni.sptids_dict.items()}
+    )
+    service = OmniMambaService(
+        model, params, uni, t2i_batch=2, mmu_batch=2, mmu_max_new=4,
+        dtype=jnp.float32,
+    )
+    srv = make_server(service, host="127.0.0.1", port=0, max_wait_ms=15)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(), headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz") as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_t2i_endpoint_batched(server):
+    from PIL import Image
+
+    # two concurrent requests share one batch
+    results = [None, None]
+
+    def call(i):
+        results[i] = _post(server + "/v1/t2i", {"prompt": f"a cat number {i}"})
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    [t.start() for t in threads]
+    [t.join(timeout=300) for t in threads]
+    for res in results:
+        img = Image.open(io.BytesIO(base64.b64decode(res["image_png_b64"])))
+        assert img.size == (8, 8)  # tiny model: 16 tokens -> 8x8 px
+
+
+def test_mmu_endpoint(server):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.random.default_rng(0).random((28, 28, 3)) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    res = _post(
+        server + "/v1/mmu",
+        {"image_png_b64": base64.b64encode(buf.getvalue()).decode(),
+         "question": "what is this"},
+    )
+    assert "text" in res
+
+
+def test_bad_route(server):
+    req = urllib.request.Request(server + "/nope", data=b"{}")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
