@@ -369,6 +369,69 @@ def backbone_step(
     return final, BackboneCache(new_caches.conv_state, new_caches.ssm_state)
 
 
+def backbone_forward_sp(
+    params: Dict,
+    embeddings: jax.Array,  # (B, L, d) — L sharded over `axis` on `mesh`
+    task: str,
+    cfg: MambaConfig,
+    mesh,
+    *,
+    axis: str = "sp",
+    add_mmu_pos: bool = True,
+) -> jax.Array:
+    """Whole-model sequence-parallel prefill: every layer scans its local
+    slice and passes SSM states across shards; conv halos ride ppermute
+    (SURVEY §5.7 long-context strategy — no reference analog, its max
+    context is 1500). Homogeneous (all-Mamba) stacks only.
+
+    Returns final-normed hidden states, still L-sharded.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from omnimamba_tpu.models.mamba2 import mamba2_forward_sp_local
+
+    assert not cfg.attn_layer_idx, "sp prefill supports pure-SSM stacks"
+    n_sp = mesh.shape[axis]
+    from omnimamba_tpu.ops.norms import add_norm
+
+    def shard_fn(params, emb_local):
+        h = emb_local
+        B, Lloc, d = h.shape
+        if task == "mmu" and add_mmu_pos:
+            idx = jax.lax.axis_index(axis)
+            start = jnp.minimum(idx * Lloc, cfg.mmu_pos_len - Lloc)
+            pe = jax.lax.dynamic_slice_in_dim(
+                params["mmu_pos_embed"][0], start, Lloc, axis=0
+            )
+            h = h + pe[None].astype(h.dtype)
+        residual = jnp.zeros_like(h, dtype=jnp.float32)
+
+        def body(carry, layer_params):
+            h, residual = carry
+            normed, new_residual = add_norm(
+                h, residual, layer_params["norm"]["weight"],
+                eps=cfg.norm_eps, is_rms=True, residual_in_fp32=True, prenorm=True,
+            )
+            out = mamba2_forward_sp_local(
+                layer_params["mixer"], normed, task, cfg.mixer, cfg.lora,
+                axis=axis, n_sp=n_sp,
+            )
+            return (out, new_residual), None
+
+        (h, residual), _ = jax.lax.scan(body, (h, residual), params["layers"])
+        return rms_norm(
+            (h.astype(jnp.float32) + residual), params["norm_f"]["weight"], cfg.norm_eps
+        ).astype(emb_local.dtype)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )(params, embeddings)
+
+
 def apply_head(params: Dict, hidden: jax.Array, task: str) -> jax.Array:
     """Task-routed weight-tied head, fp32 accumulation
     (mixer_seq_simple.py:483-524: img_head for t2i, lm_head for mmu)."""

@@ -265,6 +265,57 @@ def mamba2_forward(
     return out, cache
 
 
+def mamba2_forward_sp_local(
+    params: Dict,
+    x: jax.Array,  # (B, Lloc, d_model) — this shard's sequence slice
+    task: Optional[str],
+    cfg: Mamba2LayerConfig,
+    lora_cfg: Optional[LoraConfig] = None,
+    *,
+    axis: str,
+    n_sp: int,
+) -> jax.Array:
+    """Sequence-parallel mixer forward for use INSIDE a shard_map over
+    ``axis`` (long-context prefill, SURVEY §5.7): the causal conv pulls a
+    (W-1)-token halo from the left neighbour via ppermute, and the SSD scan
+    passes states across shards (parallel/sequence.ssd_sp_local)."""
+    from omnimamba_tpu.parallel.sequence import halo_left, ssd_sp_local
+
+    B, L, _ = x.shape
+    H, P, G, N = cfg.nheads, cfg.headdim, cfg.ngroups, cfg.d_state
+
+    parts = _project_parts(params, x, task, cfg, lora_cfg)
+    z = parts["z"]
+    conv = params["conv"]
+    W = cfg.d_conv
+    halo_x = halo_left(parts["x"], W - 1, axis, n_sp)
+    halo_bc = halo_left(parts["bc"], W - 1, axis, n_sp)
+    xs = causal_conv1d(
+        parts["x"], conv["weight_x"], conv["bias_x"], initial_state=halo_x
+    )
+    bc = causal_conv1d(
+        parts["bc"], conv["weight_bc"], conv["bias_bc"], initial_state=halo_bc
+    )
+    Bm, Cm = _split_bc(bc, cfg)
+    dt = _dt_activation(parts["dt"], params["dt_bias"], cfg)
+    A = -jnp.exp(params["A_log"].astype(jnp.float32))
+
+    y, _ = ssd_sp_local(
+        xs.reshape(B, L, H, P),
+        dt,
+        A,
+        Bm.reshape(B, L, G, N),
+        Cm.reshape(B, L, G, N),
+        params["D"],
+        axis=axis,
+        n_sp=n_sp,
+        chunk_size=cfg.chunk_size,
+    )
+    y = y.reshape(B, L, cfg.d_inner)
+    y = gated_rms_norm(y, z, params["norm"]["weight"], cfg.norm_eps)
+    return matmul_any(y, params["out_proj"])
+
+
 def init_cache(
     batch: int, cfg: Mamba2LayerConfig, dtype=jnp.bfloat16
 ) -> Mamba2Cache:

@@ -44,3 +44,29 @@ def test_sp_long_sequence_smoke():
     y, s = ssd_sequence_parallel(mesh, x, dt, A, Bm, Cm, None, chunk_size=256)
     assert y.shape == x.shape
     assert bool(jnp.isfinite(jnp.asarray(s)).all())
+
+
+def test_backbone_sp_matches_single_device():
+    """Whole-model sp prefill == regular forward (conv halos + per-layer
+    state passing end-to-end)."""
+    from omnimamba_tpu.models.backbone import (
+        backbone_forward,
+        backbone_forward_sp,
+        embed_text,
+        init_backbone,
+    )
+    from tests.test_backbone import tiny_config
+
+    cfg = tiny_config()
+    params = init_backbone(jax.random.PRNGKey(0), cfg)
+    devs = np.asarray(jax.devices()[:4])
+    mesh = Mesh(devs, ("sp",))
+    B, L = 2, 4 * 16  # 16 tokens per shard (chunk 8)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, L), 0, cfg.vocab_size)
+    emb = embed_text(params, ids, jnp.float32)
+
+    h_ref, _ = backbone_forward(params, emb, "mmu", cfg, scan_impl="chunked")
+    h_sp = backbone_forward_sp(params, emb, "mmu", cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(h_sp), np.asarray(h_ref), rtol=5e-4, atol=5e-4
+    )
