@@ -211,7 +211,13 @@ def backbone_forward(
     B, L, d = embeddings.shape
     h = embeddings
     if task == "mmu" and add_mmu_pos:
-        h = h + params["mmu_pos_embed"][:, :L].astype(h.dtype)
+        pe = params["mmu_pos_embed"][:, :L].astype(h.dtype)
+        if pe.shape[1] < L:
+            # beyond the 1500-entry table (mixer_seq_simple.py:301-303) the
+            # positions carry no learned signal — long-context prefill pads
+            # with zeros (decode clamps to the last entry)
+            pe = jnp.pad(pe, ((0, 0), (0, L - pe.shape[1]), (0, 0)))
+        h = h + pe
 
     residual = jnp.zeros_like(h, dtype=jnp.float32)
 
