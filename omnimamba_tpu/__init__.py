@@ -28,3 +28,28 @@ from omnimamba_tpu.config import (  # noqa: F401
     VQConfig,
     VQ_MODELS,
 )
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package import)."""
+    lazy = {
+        "build_model": ("omnimamba_tpu.factory", "build_model"),
+        "OmniMambaModel": ("omnimamba_tpu.models.omnimamba", "OmniMambaModel"),
+        "init_omnimamba": ("omnimamba_tpu.models.omnimamba", "init_omnimamba"),
+        "t2i_generate": ("omnimamba_tpu.models.omnimamba", "t2i_generate"),
+        "mmu_generate": ("omnimamba_tpu.models.omnimamba", "mmu_generate"),
+        "t2i_loss": ("omnimamba_tpu.models.omnimamba", "t2i_loss"),
+        "mmu_loss": ("omnimamba_tpu.models.omnimamba", "mmu_loss"),
+        "generate": ("omnimamba_tpu.models.generation", "generate"),
+        "SampleParams": ("omnimamba_tpu.ops.sampling", "SampleParams"),
+        "Trainer": ("omnimamba_tpu.train.trainer", "Trainer"),
+        "create_mesh": ("omnimamba_tpu.parallel.mesh", "create_mesh"),
+        "shard_params": ("omnimamba_tpu.parallel.sharding", "shard_params"),
+        "quantize_decode_params": ("omnimamba_tpu.ops.quant", "quantize_decode_params"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
