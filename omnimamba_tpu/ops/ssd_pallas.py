@@ -136,7 +136,9 @@ def ssd_pallas(
     C = Lp // Q
     rep = H // G
     if head_tile is None:
-        head_tile = min(8, rep)
+        # v5e sweep at 1.3B geometry: Hb=16 beats 8 by ~15% (fewer grid
+        # steps; scores reuse amortized further)
+        head_tile = min(16, rep)
     Hb = head_tile
     assert rep % Hb == 0, "head_tile must divide heads-per-group"
     HT = H // Hb  # tiles per batch; each tile lies inside one group
