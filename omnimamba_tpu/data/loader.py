@@ -12,8 +12,7 @@ JAX dispatch is async.
 from __future__ import annotations
 
 import queue
-import threading
-from typing import Callable, Dict, Iterator, List, Optional
+from typing import Callable, Dict, Iterator, List
 
 import numpy as np
 

@@ -18,7 +18,7 @@ network access; swap in the HF tokenizer for real text.
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 from omnimamba_tpu.config import SpecialTokens
 

@@ -13,7 +13,7 @@ and the [-1, 1] scaling the VQ tokenizer expects (coco_dataset.py:51).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

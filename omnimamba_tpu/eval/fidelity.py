@@ -15,7 +15,7 @@ replaying with ``teacher_outputs`` for per-position logit comparison.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

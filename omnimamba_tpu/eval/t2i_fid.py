@@ -16,7 +16,7 @@ provides the working pipeline:
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from typing import Dict, Optional, Tuple, Union
 
 import jax
 
-from omnimamba_tpu.config import LoraConfig, Mamba2LayerConfig, MambaConfig
+from omnimamba_tpu.config import LoraConfig, Mamba2LayerConfig
 from omnimamba_tpu.models.mamba2 import (
     Mamba2Cache,
     mamba2_forward,

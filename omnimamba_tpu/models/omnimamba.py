@@ -25,7 +25,6 @@ Training-sequence layouts (the compatibility contract, SURVEY §3.5):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -19,7 +19,7 @@ backbone. Weight conversion from timm checkpoints lives in utils/convert.py.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -33,8 +33,6 @@ host; dA/dD are per-(tile, chunk) partials likewise.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

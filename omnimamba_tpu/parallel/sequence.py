@@ -20,7 +20,6 @@ O(params)-sized comms.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

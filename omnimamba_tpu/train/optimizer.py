@@ -20,7 +20,6 @@ on the *logical* rank (ndim - 1 under ``layers/``).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional
 
 import jax

@@ -20,7 +20,7 @@ Torch is only imported for ``.pt`` loading — tensors go straight to numpy.
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional
+from typing import Dict, Mapping
 
 import numpy as np
 
