@@ -93,6 +93,10 @@ def load_pretrained_into(params: Dict, model: OmniMambaModel, train_cfg: TrainCo
             sd = convert.load_torch_state_dict(path)
             converted = convert.convert_omnimamba_checkpoint(sd, model.cfg)
             for k, v in converted.items():
+                if k not in params:
+                    # e.g. projector weights in the ckpt but mmu_task off —
+                    # mirrors the reference's non-strict load tolerance
+                    continue
                 params[k] = as_dtype(v, params[k])
     elif train_cfg.mamba_pretrain:
         sd = convert.load_torch_state_dict(train_cfg.mamba_pretrain)

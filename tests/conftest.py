@@ -8,6 +8,8 @@ host-device-count flag still has to be in XLA_FLAGS *before* import.
 
 import os
 
+os.environ.setdefault("HF_HUB_OFFLINE", "1")  # fail fast, no retry loops
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
