@@ -130,6 +130,25 @@ def main():
     tps_q = B * T / (time.time() - t0)
     log(f"MMU decode int8: {tps_q:.0f} tok/s/chip (batch {B})")
 
+    # best-known serving config: B=64, int8 weights + bf16 SSM state
+    B2 = 64
+    ids2 = jnp.asarray(rng.integers(0, cfg.vocab_size, (B2, L0)), jnp.int32)
+    emb2 = embed_text(qparams["mamba"], ids2, jnp.bfloat16)
+    mmu_best = jax.jit(
+        lambda p, i, e: generate(
+            p, cfg, input_ids=i, input_embeddings=e, task="mmu",
+            max_length=L0 + T, sample=SampleParams(top_k=1),
+            cache_dtype=jnp.bfloat16,
+        ).sequences
+    )
+    out = mmu_best(qparams["mamba"], ids2, emb2)
+    sync(out)
+    t0 = time.time()
+    out = mmu_best(qparams["mamba"], ids2, emb2)
+    sync(out)
+    log(f"MMU decode best (B=64, int8+bf16-state): "
+        f"{B2 * T / (time.time() - t0):.0f} tok/s/chip")
+
     print(
         json.dumps(
             {

@@ -28,6 +28,9 @@ def main():
     parser.add_argument("--mmu-max-new", type=int, default=64)
     parser.add_argument("--max-wait-ms", type=float, default=20.0)
     parser.add_argument("--int8", action="store_true", help="int8 weight-only serving")
+    parser.add_argument("--bf16-state", action="store_true",
+                        help="carry decode SSM state in bf16 (higher batched "
+                             "throughput; audit greedy fidelity per model)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -55,10 +58,13 @@ def main():
         params = quantize_decode_params(params)
         print("[serve] int8 weight-only quantization on")
 
+    import jax.numpy as jnp2
+
     service = OmniMambaService(
         model, params, uni,
         t2i_batch=args.t2i_batch, mmu_batch=args.mmu_batch,
         mmu_max_new=args.mmu_max_new,
+        cache_dtype=jnp2.bfloat16 if args.bf16_state else None,
     )
     server = make_server(service, args.host, args.port, args.max_wait_ms)
     print(f"[serve] listening on {args.host}:{args.port} "
