@@ -64,3 +64,28 @@ def test_quantized_decode_runs_and_agrees_mostly():
             scan_impl="chunked",
         )
         assert out.sequences.shape == (1, 12)
+
+
+def test_quantized_params_shard_and_generate():
+    """int8 bundle placed on a dp x tp mesh still generates (multi-chip
+    int8 serving path)."""
+    from omnimamba_tpu.models.backbone import embed_text, init_backbone
+    from omnimamba_tpu.models.generation import generate
+    from omnimamba_tpu.ops.sampling import SampleParams
+    from omnimamba_tpu.parallel.mesh import create_mesh
+    from omnimamba_tpu.parallel.sharding import shard_params
+    from tests.test_backbone import tiny_config
+
+    cfg = tiny_config()
+    params = {"mamba": init_backbone(jax.random.PRNGKey(0), cfg)}
+    qparams = quantize_decode_params(params)
+    mesh = create_mesh({"dp": 2, "tp": 4})
+    qparams = shard_params(mesh, qparams)
+    ids = jnp.arange(5, dtype=jnp.int32)[None]
+    emb = embed_text(qparams["mamba"], ids, jnp.float32)
+    out = generate(
+        qparams["mamba"], cfg, input_ids=ids, input_embeddings=emb,
+        task="mmu", max_length=12, sample=SampleParams(top_k=1),
+        scan_impl="chunked",
+    )
+    assert out.sequences.shape == (1, 12)
