@@ -83,6 +83,30 @@ def pope_metrics(preds: Sequence[str], answers: Sequence[str]) -> Dict[str, floa
     }
 
 
+def mme_metrics(rows: Sequence[Dict]) -> Dict[str, float]:
+    """MME protocol: rows carry {"image", "prediction", "answer"} with two
+    yes/no questions per image; score = 100*(accuracy + accuracy+), where
+    accuracy+ counts images with BOTH questions right (per MME's script)."""
+    per_image: Dict[str, List[bool]] = {}
+    correct = 0
+    for r in rows:
+        y = _to_yes_no(r["prediction"])
+        ok = y is not None and y == _normalize(r["answer"])
+        correct += ok
+        per_image.setdefault(r["image"], []).append(ok)
+    n = len(rows)
+    acc = correct / max(n, 1)
+    acc_plus = sum(1 for v in per_image.values() if all(v) and len(v) >= 2) / max(
+        len(per_image), 1
+    )
+    return {
+        "accuracy": acc,
+        "accuracy_plus": acc_plus,
+        "score": 100.0 * (acc + acc_plus),
+        "total": float(n),
+    }
+
+
 def load_manifest(path: str) -> List[Dict]:
     """JSONL rows: {"image": path, "question": str,
     "answer": str | "answers": [str, ...]}."""
@@ -170,6 +194,8 @@ def score_manifest(rows: List[Dict], protocol: str) -> Dict[str, float]:
             np.mean([exact_match(r["prediction"], r["answer"]) for r in rows])
         )
         return {"accuracy": acc, "total": float(len(rows))}
+    if protocol == "mme":
+        return mme_metrics(rows)
     if protocol == "vqav2":
         acc = float(
             np.mean(

@@ -27,6 +27,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # "/"-joined key names, layer-stacked arrays keep their leading axis None.
 _RULES = [
     # --- mamba mixer (stacked: leading layer axis) -------------------------
+    # int8 bundles: q keeps the kernel spec; per-out-channel scales shard
+    # with the output axis
+    ("layers/mixer/in_proj/z/scale", P(None, "tp")),
+    ("layers/mixer/in_proj/x/scale", P(None, "tp")),
+    ("layers/mixer/out_proj/kernel/scale", P()),
     ("layers/mixer/in_proj/z", P(None, "fsdp", "tp")),
     ("layers/mixer/in_proj/x", P(None, "fsdp", "tp")),
     ("layers/mixer/in_proj/dt", P(None, "fsdp", None)),

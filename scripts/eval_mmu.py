@@ -16,7 +16,7 @@ sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--manifest", required=True)
-    parser.add_argument("--protocol", required=True, choices=["pope", "gqa", "vqav2"])
+    parser.add_argument("--protocol", required=True, choices=["pope", "gqa", "vqav2", "mme"])
     parser.add_argument("--image-root", default=".")
     parser.add_argument("--config", default="config/config_stage2.yaml")
     parser.add_argument("--ckpt", default=None)
