@@ -50,6 +50,25 @@ def matmul_any(x: jax.Array, entry, *, transpose: bool = False, out_dtype=None) 
     if isinstance(entry, dict) and "kernel" in entry:
         entry = entry["kernel"]  # {"kernel": array | {"q","scale"}}
     if isinstance(entry, dict):
+        # A fused Pallas int8 matmul exists (ops/quant_pallas.py) but is
+        # OPT-IN only: measured in the full 48-layer decode step it acts as
+        # a fusion barrier and LOSES to XLA's inline dequant (979 vs 2048
+        # tok/s at B=16) — per-op kernels don't pipeline across the layer
+        # scan. Enable for isolated large matmuls via OMNIMAMBA_PALLAS_INT8.
+        import os
+
+        if (
+            os.environ.get("OMNIMAMBA_PALLAS_INT8") == "1"
+            and x.ndim == 2
+            and jax.default_backend() == "tpu"
+            and (x.shape[0] == 1 or x.shape[0] % 8 == 0)
+            and x.shape[0] <= 256
+        ):
+            from omnimamba_tpu.ops.quant_pallas import qmatmul_pallas
+
+            return qmatmul_pallas(
+                x, entry["q"], entry["scale"], transpose=transpose
+            ).astype(out_dtype)
         k = entry["q"]
         k = k.T if transpose else k
         y = jnp.einsum(
