@@ -36,6 +36,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def effective_chunk(chunk_size: int, interpret: bool) -> int:
+    """Compiled TPU kernels need the (Hb, Q) dt block's lane dim %128; small
+    model configs (tests, tiny) may set chunk < 128 — round up (chunking is
+    math-invariant)."""
+    return chunk_size if interpret else max(chunk_size, 128)
+
+
 def _ssd_kernel(
     # scalar prefetch
     A_ref,  # (B*H,) fp32
@@ -130,7 +137,9 @@ def ssd_pallas(
     returns (y (B,L,H,P) in x.dtype, final_state (B,H,P,N) fp32)."""
     Bsz, L, H, P = x.shape
     G, N = Bmat.shape[2], Bmat.shape[3]
-    Q = chunk_size
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Q = effective_chunk(chunk_size, interpret)
     pad = (-L) % Q
     Lp = L + pad
     C = Lp // Q
@@ -142,9 +151,6 @@ def ssd_pallas(
     Hb = head_tile
     assert rep % Hb == 0, "head_tile must divide heads-per-group"
     HT = H // Hb  # tiles per batch; each tile lies inside one group
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from omnimamba_tpu.ops.ssd_pallas import ssd_pallas
+from omnimamba_tpu.ops.ssd_pallas import effective_chunk, ssd_pallas
 
 
 def _ssd_bwd_kernel(
@@ -339,7 +339,7 @@ def _bwd(chunk_size, head_tile, interpret, res, cts):
     rep = H // G
     ht = head_tile if head_tile is not None else min(8, rep)
     interp = interpret if interpret is not None else jax.default_backend() != "tpu"
-    Q = chunk_size
+    Q = effective_chunk(chunk_size, interp)
 
     h_prev = _chunk_entry_states(x, dt, A, Bmat, chunk_size)  # (B, C, H, P, N)
     C = h_prev.shape[1]
