@@ -90,3 +90,27 @@ def test_bad_route(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_concurrent_mixed_endpoints(server):
+    """t2i and mmu batchers serve concurrently without interference."""
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((28, 28, 3), np.uint8)).save(buf, format="PNG")
+    img64 = base64.b64encode(buf.getvalue()).decode()
+    results = {}
+
+    def call_t2i():
+        results["t2i"] = _post(server + "/v1/t2i", {"prompt": "x"})
+
+    def call_mmu():
+        results["mmu"] = _post(
+            server + "/v1/mmu", {"image_png_b64": img64, "question": "y"}
+        )
+
+    ts = [threading.Thread(target=call_t2i), threading.Thread(target=call_mmu)]
+    [t.start() for t in ts]
+    [t.join(timeout=300) for t in ts]
+    assert "image_png_b64" in results["t2i"] and "text" in results["mmu"]
