@@ -189,12 +189,13 @@ def mmu_embed_sequence(
 
 
 def mmu_image_features(
-    params: Dict, model: OmniMambaModel, pixel_values: Dict[str, jax.Array]
+    params: Dict, model: OmniMambaModel, pixel_values: Dict[str, jax.Array],
+    remat: bool = False,
 ) -> jax.Array:
     """DinoSigLIP features -> projector (omnimamba.py:201-202)."""
     feats = dinosiglip_features(
         params["vision"]["dino"], params["vision"]["siglip"], pixel_values,
-        model.vision_cfg,
+        model.vision_cfg, remat=remat,
     )
     return apply_projector(params["projector"], feats, model.projector_arch)
 
@@ -216,7 +217,7 @@ def mmu_loss(
     zero image embeddings (mmu_uni_ids2embed) — expressed here as a vectorized
     mask instead of the reference's per-group batch split, so shapes stay
     static under jit."""
-    feats = mmu_image_features(params, model, pixel_values)
+    feats = mmu_image_features(params, model, pixel_values, remat=remat)
     feats = jnp.where(multimodal_mask[:, None, None], feats, 0.0)
     emb, full_labels = mmu_embed_sequence(
         params, model, input_ids, feats, labels, dtype=dtype

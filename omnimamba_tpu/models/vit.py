@@ -119,6 +119,7 @@ def vit_features(
     cfg: ViTConfig,
     *,
     out_offset: int = 2,  # take the output of block depth-out_offset (timm n={len-2})
+    remat: bool = False,
 ) -> jax.Array:
     """Patch-token features from the (depth - out_offset)-th block, prefix
     tokens stripped, no final norm — exactly the reference's featurizer
@@ -159,6 +160,8 @@ def vit_features(
     def body(h, blk):
         return _block(blk, h, cfg), None
 
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
     x, _ = jax.lax.scan(body, x, blocks)
     return x[:, n_prefix:]
 
@@ -168,8 +171,9 @@ def dinosiglip_features(
     siglip_params: Dict,
     pixels: Dict[str, jax.Array],  # {"dino": (B,H,W,3), "siglip": (B,H,W,3)}
     cfg: VisionConfig,
+    remat: bool = False,
 ) -> jax.Array:
     """Concatenated (B, 729, 2176) features (dinosiglip_vit.py:138-143)."""
-    dino = vit_features(dino_params, pixels["dino"], cfg.dino)
-    sig = vit_features(siglip_params, pixels["siglip"], cfg.siglip)
+    dino = vit_features(dino_params, pixels["dino"], cfg.dino, remat=remat)
+    sig = vit_features(siglip_params, pixels["siglip"], cfg.siglip, remat=remat)
     return jnp.concatenate([dino, sig], axis=-1)

@@ -26,7 +26,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from omnimamba_tpu.config import TrainConfig
 from omnimamba_tpu.models.omnimamba import OmniMambaModel, mmu_loss, t2i_loss
 from omnimamba_tpu.parallel.sharding import batch_sharding
-from omnimamba_tpu.train.optimizer import make_optimizer
+from omnimamba_tpu.train.optimizer import make_optimizer, trainable_mask
 
 
 class TrainState(NamedTuple):
@@ -68,7 +68,17 @@ def make_train_step(
         # residuals); differentiable chunked-XLA elsewhere
         scan_impl = "pallas_ad" if jax.default_backend() == "tpu" else "chunked"
 
+    def _freeze(params):
+        """stop_gradient on frozen subtrees: XLA DCEs their whole backward
+        (e.g. the 717M-param vision towers in finetune) — no grad buffers,
+        no backward FLOPs (freeze_backbones analog at the autodiff level)."""
+        tmask = trainable_mask(params, cfg.stage, cfg)
+        return jax.tree.map(
+            lambda p, t: p if t else jax.lax.stop_gradient(p), params, tmask
+        )
+
     def loss_fn(params, batch, key):
+        params = _freeze(params)
         k1, k2 = jax.random.split(key)
         loss_t2i = jnp.float32(0.0)
         loss_mmu = jnp.float32(0.0)
