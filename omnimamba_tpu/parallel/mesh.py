@@ -27,20 +27,23 @@ AXES = ("dp", "fsdp", "tp")
 def create_mesh(
     shape: Optional[Dict[str, int]] = None, devices: Optional[Sequence] = None
 ) -> Mesh:
-    """shape e.g. {"dp": 2, "tp": 4}; unmentioned axes get size 1. With no
-    shape, all devices go to dp (the reference's DDP topology)."""
+    """shape e.g. {"dp": 2, "tp": 4}; unmentioned canonical axes get size 1.
+    With no shape, all devices go to dp (the reference's DDP topology).
+    Extra axes (e.g. {"sp": 8} for sequence-parallel prefill) are appended
+    after the canonical three in the given order."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     shape = dict(shape or {})
-    sizes = [shape.get(ax, 1) for ax in AXES]
+    axes = list(AXES) + [ax for ax in shape if ax not in AXES]
+    sizes = [shape.get(ax, 1) for ax in axes]
     specified = int(np.prod([s for s in sizes if s > 0]))
-    # fill a single -1/absent axis with the remainder
+    # fill an absent dp with the remainder
     if "dp" not in shape and specified < n and n % specified == 0:
         sizes[0] = n // specified
         specified = n
-    assert specified == n, f"mesh {dict(zip(AXES, sizes))} != {n} devices"
+    assert specified == n, f"mesh {dict(zip(axes, sizes))} != {n} devices"
     arr = np.asarray(devices).reshape(sizes)
-    return Mesh(arr, AXES)
+    return Mesh(arr, tuple(axes))
 
 
 def local_mesh_1d(n: Optional[int] = None) -> Mesh:
