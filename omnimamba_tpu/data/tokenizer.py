@@ -136,13 +136,48 @@ class _Encoding:
         raise KeyError(key)
 
 
+def _find_local_bpe_dir() -> "str | None":
+    """Local tokenizer files (vocab.json+merges.txt or tokenizer.json):
+    $OMNIMAMBA_TOKENIZER_DIR first, then conventional checkpoint paths."""
+    import os
+
+    candidates = [os.environ.get("OMNIMAMBA_TOKENIZER_DIR")]
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for base in (os.getcwd(), here):
+        candidates += [
+            os.path.join(base, "ckpts", "tokenizer"),
+            os.path.join(base, "data", "tokenizer"),
+        ]
+    for d in candidates:
+        if not d or not os.path.isdir(d):
+            continue
+        if os.path.exists(os.path.join(d, "tokenizer.json")) or (
+            os.path.exists(os.path.join(d, "vocab.json"))
+            and os.path.exists(os.path.join(d, "merges.txt"))
+        ):
+            return d
+    return None
+
+
 def load_text_tokenizer(
     name: str = "EleutherAI/gpt-neox-20b",
     model_max_length: int = 2048,
     offline_ok: bool = True,
 ):
-    """HF AutoTokenizer when reachable/cached; otherwise the offline stub
-    (zero-egress environments)."""
+    """Real tokenizer preference order:
+
+    1. in-repo byte-level BPE engine on local files (``$OMNIMAMBA_TOKENIZER_DIR``
+       or ``ckpts/tokenizer``/``data/tokenizer``) — no network, no native libs;
+    2. HF AutoTokenizer (cache/network);
+    3. the deterministic offline stub (zero-egress, no files).
+    """
+    local = _find_local_bpe_dir()
+    if local is not None:
+        from omnimamba_tpu.data.bpe import ByteLevelBPETokenizer
+
+        return ByteLevelBPETokenizer.from_dir(
+            local, model_max_length=model_max_length
+        )
     try:
         from transformers import AutoTokenizer
 
