@@ -238,6 +238,11 @@ class ViTConfig:
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     interpolation: str = "bicubic"
+    # timm eval-transform crop fraction; scale_size = floor(img_size/crop_pct).
+    # 1.0 for both shipped featurizers: DINOv2 has crop_pct=1.0 and the
+    # reference pins SigLIP's resize to the target size
+    # (dinosiglip_vit.py:77-84).
+    crop_pct: float = 1.0
 
     @property
     def grid(self) -> int:
