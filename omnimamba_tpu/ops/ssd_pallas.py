@@ -45,15 +45,15 @@ def effective_chunk(chunk_size: int, interpret: bool) -> int:
 
 def _ssd_kernel(
     # scalar prefetch
-    A_ref,  # (B*H,) fp32
     D_ref,  # (B*H,) fp32
-    # blocks
-    x_ref,  # (1, Hb, Q, P)
-    dtc_ref,  # (1, Q, Hb)  column layout
-    dtr_ref,  # (1, Hb, Q)  row layout
+    # blocks (note TRANSPOSED per-head layout: time on the LANE dim)
+    x_ref,  # (1, Hb, P, Q)
+    dtr_ref,  # (1, Hb, Q)
     B_ref,  # (1, Q, N)
     C_ref,  # (1, Q, N)
-    y_ref,  # (1, Hb, Q, P) out
+    scol_ref,  # (1, Q, Hb) within-chunk decay cumsum, column layout
+    srow_ref,  # (1, Hb, Q) same, row layout
+    y_ref,  # (1, Hb, P, Q) out
     state_out_ref,  # (1, Hb, P, N) out
     state_ref,  # (Hb, P, N) fp32 VMEM scratch
     *,
@@ -61,8 +61,27 @@ def _ssd_kernel(
     hb: int,
     heads_per_batch: int,
     tiles_per_batch: int,
+    mxu_dtype,
 ):
-    bt = pl.program_id(0)
+    """Per-(head-tile, chunk) body, transposed formulation.
+
+    TPU vector lanes are 128-wide; headdim P=64 would half-pad every load,
+    VPU op, and MXU N-dim. So per-head tensors are laid out (P, Q) — time
+    on the lanes — making every dot full-width:
+
+        yT_h (P,Q)   = dtxT_h (P,Q) @ WT (Q,Q)        WT_jt = scores_tj decay_tj
+        y_interT (P,Q) = state (P,N) @ CmxT            (contract N)
+        state' (P,N) = e^tot state + dtxcT (P,Q) @ Bmx (Q,N)
+
+    Every *large* dot takes ``mxu_dtype`` operands (bf16 natively on the
+    MXU; fp32 operands cost 3-6x emulation passes) with fp32 accumulation.
+    The decay cumsums ``s = cumsum(dt*A)`` arrive precomputed from XLA in
+    both layouts (tiny (L, H) arrays; in-kernel transposes are Mosaic
+    relayouts and in-kernel cumsum matmuls were pure overhead). The causal
+    mask folds into the shared scores once; per-head decay uses a clamped
+    exp (masked entries have positive exponent -> clamp to exp(0)=1 times a
+    zeroed score).
+    """
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -70,48 +89,57 @@ def _ssd_kernel(
         state_ref[...] = jnp.zeros_like(state_ref)
 
     Q = chunk
-    dtc = dtc_ref[0].astype(jnp.float32)  # (Q, Hb)
     dtr = dtr_ref[0].astype(jnp.float32)  # (Hb, Q)
-    Bm = B_ref[0].astype(jnp.float32)  # (Q, N)
-    Cm = C_ref[0].astype(jnp.float32)  # (Q, N)
+    Bmx = B_ref[0].astype(mxu_dtype)  # (Q, N)
+    Cmx = C_ref[0].astype(mxu_dtype)  # (Q, N)
+    S_cols = scol_ref[0]  # (Q, Hb) fp32
+    S_rows = srow_ref[0]  # (Hb, Q) fp32
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)
-    mask = col <= row
-    tril = mask.astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)  # j (source)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)  # t (target)
+    causal = (col >= row).astype(jnp.float32)  # [t >= j]
 
-    # scores shared by every head in the tile (single group at ngroups=1)
-    scores = jnp.dot(Cm, Bm.T, preferred_element_type=jnp.float32)  # (Q, Q)
+    # scoresT_jt = C_t . B_j, shared across the tile's heads (ngroups=1)
+    scoresT = jax.lax.dot_general(
+        Bmx, Cmx, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Q, Q) indexed (j, t)
+    masked_scoresT = (scoresT * causal).astype(mxu_dtype)
 
+    bt = pl.program_id(0)
     b = bt // tiles_per_batch
     head0 = (bt % tiles_per_batch) * hb
 
+    xf = x_ref[0].astype(jnp.float32)  # (Hb, P, Q)
+    dtx_all = xf * dtr[:, None, :]  # (Hb, P, Q) fp32
+
     for h in range(hb):
         gh = b * heads_per_batch + head0 + h
-        A = A_ref[gh]
         D = D_ref[gh]
 
-        x = x_ref[0, h].astype(jnp.float32)  # (Q, P)
-        a_col = dtc[:, h : h + 1] * A  # (Q, 1)
-        a_row = dtr[h : h + 1, :] * A  # (1, Q)
-        s_col = jnp.dot(tril, a_col, preferred_element_type=jnp.float32)  # (Q,1)
-        s_row = jnp.dot(a_row, tril.T, preferred_element_type=jnp.float32)  # (1,Q)
-        total = s_col[Q - 1, 0]
+        s_j = S_cols[:, h : h + 1]  # (Q, 1) source decay cumsum
+        s_t = S_rows[h : h + 1, :]  # (1, Q) target decay cumsum
+        total = s_j[Q - 1, 0]
 
-        decay = jnp.where(mask, jnp.exp(s_col - s_row), 0.0)  # (Q, Q)
-        dtx = dtc[:, h : h + 1] * x  # (Q, P)
-        y = jnp.dot(scores * decay, dtx, preferred_element_type=jnp.float32)
+        decayT = jnp.exp(jnp.minimum(s_t - s_j, 0.0))  # (Q, Q) (j, t)
+        WT = masked_scoresT * decayT.astype(mxu_dtype)
+        yT = jnp.dot(
+            dtx_all[h].astype(mxu_dtype), WT, preferred_element_type=jnp.float32
+        )  # (P, Q)
 
-        state = state_ref[h]  # (P, N)
-        y_inter = jax.lax.dot_general(
-            Cm, state, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Q, P)
-        y = y + jnp.exp(s_col) * y_inter + D * x
-        y_ref[0, h] = y.astype(y_ref.dtype)
+        state = state_ref[h]  # (P, N) fp32
+        y_interT = jax.lax.dot_general(
+            state.astype(mxu_dtype),
+            Cmx,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, Q)
+        yT = yT + jnp.exp(s_t) * y_interT + D * xf[h]
+        y_ref[0, h] = yT.astype(y_ref.dtype)
 
-        carry = jnp.exp(total - s_col)  # (Q, 1)
-        new_state = jnp.exp(total) * state + jax.lax.dot_general(
-            dtx * carry, Bm, (((0,), (0,)), ((), ())),
+        carry = jnp.exp(total - s_t)  # (1, Q) source carry to chunk end
+        new_state = jnp.exp(total) * state + jnp.dot(
+            (dtx_all[h] * carry).astype(mxu_dtype),
+            Bmx,
             preferred_element_type=jnp.float32,
         )  # (P, N)
         state_ref[h] = new_state
@@ -158,15 +186,22 @@ def ssd_pallas(
         Bmat = jnp.pad(Bmat, ((0, 0), (0, pad), (0, 0), (0, 0)))
         Cmat = jnp.pad(Cmat, ((0, 0), (0, pad), (0, 0), (0, 0)))
 
-    xf = x.transpose(0, 2, 1, 3).reshape(Bsz * HT, Hb, Lp, P)
+    # transposed per-head layout: time on the lane dim (see kernel docstring)
+    xf = x.transpose(0, 2, 3, 1).reshape(Bsz * HT, Hb, P, Lp)
     dt32 = dt.astype(jnp.float32)
-    # both layouts so the kernel never transposes (Mosaic relayout limits)
-    dtc = dt32.reshape(Bsz, Lp, HT, Hb).transpose(0, 2, 1, 3).reshape(Bsz * HT, Lp, Hb)
     dtr = dt32.transpose(0, 2, 1).reshape(Bsz * HT, Hb, Lp)
+
+    # within-chunk decay cumsum s = cumsum(dt * A) — tiny (L, H) arrays,
+    # computed (and fused) by XLA; passed in BOTH layouts so the kernel
+    # never transposes (Mosaic relayout limits)
+    a = dt32 * A.astype(jnp.float32)[None, None, :]  # (B, Lp, H)
+    s = jnp.cumsum(a.reshape(Bsz, C, Q, H), axis=2).reshape(Bsz, Lp, H)
+    scol = s.reshape(Bsz, Lp, HT, Hb).transpose(0, 2, 1, 3).reshape(Bsz * HT, Lp, Hb)
+    srow = s.transpose(0, 2, 1).reshape(Bsz * HT, Hb, Lp)
+
     Bf = Bmat.transpose(0, 2, 1, 3).reshape(Bsz * G, Lp, N)
     Cf = Cmat.transpose(0, 2, 1, 3).reshape(Bsz * G, Lp, N)
 
-    A_all = jnp.tile(A.astype(jnp.float32), Bsz)
     D_all = (
         jnp.zeros((Bsz * H,), jnp.float32)
         if D is None
@@ -179,21 +214,26 @@ def ssd_pallas(
         return (bt // HT) * G + (bt % HT) // tiles_per_group
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(Bsz * HT, C),
         in_specs=[
-            pl.BlockSpec((1, Hb, Q, P), lambda bt, c, A, D: (bt, 0, c, 0)),
-            pl.BlockSpec((1, Q, Hb), lambda bt, c, A, D: (bt, c, 0)),
-            pl.BlockSpec((1, Hb, Q), lambda bt, c, A, D: (bt, 0, c)),
-            pl.BlockSpec((1, Q, N), lambda bt, c, A, D: (brow(bt), c, 0)),
-            pl.BlockSpec((1, Q, N), lambda bt, c, A, D: (brow(bt), c, 0)),
+            pl.BlockSpec((1, Hb, P, Q), lambda bt, c, D: (bt, 0, 0, c)),
+            pl.BlockSpec((1, Hb, Q), lambda bt, c, D: (bt, 0, c)),
+            pl.BlockSpec((1, Q, N), lambda bt, c, D: (brow(bt), c, 0)),
+            pl.BlockSpec((1, Q, N), lambda bt, c, D: (brow(bt), c, 0)),
+            pl.BlockSpec((1, Q, Hb), lambda bt, c, D: (bt, c, 0)),
+            pl.BlockSpec((1, Hb, Q), lambda bt, c, D: (bt, 0, c)),
         ],
         out_specs=[
-            pl.BlockSpec((1, Hb, Q, P), lambda bt, c, A, D: (bt, 0, c, 0)),
-            pl.BlockSpec((1, Hb, P, N), lambda bt, c, A, D: (bt, 0, 0, 0)),
+            pl.BlockSpec((1, Hb, P, Q), lambda bt, c, D: (bt, 0, 0, c)),
+            pl.BlockSpec((1, Hb, P, N), lambda bt, c, D: (bt, 0, 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((Hb, P, N), jnp.float32)],
     )
+
+    # bf16 activations take the native-MXU path (fp32 accumulation); fp32
+    # inputs keep exact fp32 operands (the fidelity/oracle path)
+    mxu_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
     y, final_state = pl.pallas_call(
         functools.partial(
@@ -202,15 +242,16 @@ def ssd_pallas(
             hb=Hb,
             heads_per_batch=H,
             tiles_per_batch=HT,
+            mxu_dtype=mxu_dtype,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Bsz * HT, Hb, Lp, P), x.dtype),
+            jax.ShapeDtypeStruct((Bsz * HT, Hb, P, Lp), x.dtype),
             jax.ShapeDtypeStruct((Bsz * HT, Hb, P, N), jnp.float32),
         ],
         interpret=interpret,
-    )(A_all, D_all, xf, dtc, dtr, Bf, Cf)
+    )(D_all, xf, dtr, Bf, Cf, scol, srow)
 
-    y = y.reshape(Bsz, H, Lp, P).transpose(0, 2, 1, 3)[:, :L]
+    y = y.reshape(Bsz, H, P, Lp).transpose(0, 3, 1, 2)[:, :L]
     final_state = final_state.reshape(Bsz, H, P, N)
     return y, final_state

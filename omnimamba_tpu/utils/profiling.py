@@ -86,7 +86,18 @@ def bench_compiled(fn: Callable, *args, loops: int = 50) -> float:
     @jax.jit
     def many(*a):
         def body(i, acc):
-            out = fn(*a)
+            # thread the carry into every floating input: without this,
+            # XLA's loop-invariant code motion hoists pure-XLA bodies out
+            # of the loop and the "benchmark" measures one evaluation
+            # (Pallas custom calls are not hoisted, XLA ops are)
+            eps = acc * 1e-30
+            a2 = jax.tree.map(
+                lambda t: t + eps.astype(t.dtype)
+                if jnp.issubdtype(jnp.asarray(t).dtype, jnp.floating)
+                else t,
+                a,
+            )
+            out = fn(*a2)
             leaf = jax.tree.leaves(out)[0]
             return acc + leaf.ravel()[-1].astype(jnp.float32)
 
