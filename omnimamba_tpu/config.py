@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 
 def _round_up(x: int, m: int) -> int:
@@ -410,8 +410,10 @@ class TrainConfig:
     #   auto -> fused Pallas custom-VJP on TPU, chunked-XLA elsewhere
     scan_impl: str = "auto"
     # gradient checkpointing over the 48-block scan (trades ~30% step time
-    # for O(1)-in-depth activation memory)
-    remat: bool = True
+    # for O(1)-in-depth activation memory). True = full remat;
+    # "dots" = keep matmul outputs (skips ~2/3 of the recompute FLOPs for
+    # ~2.6 GB more activations at 1.3B B=8 — the fast choice when it fits)
+    remat: Any = "dots"
 
     @classmethod
     def from_yaml(cls, path: str) -> "TrainConfig":

@@ -257,8 +257,17 @@ def backbone_forward(
 
     if remat:
         # rematerialize each block on backward: trades FLOPs for HBM on the
-        # 48-layer scan (jax.checkpoint over the scanned body)
-        body = jax.checkpoint(body, prevent_cse=False)
+        # 48-layer scan (jax.checkpoint over the scanned body).
+        # remat="dots" keeps every matmul output (in_proj/out_proj/LoRA —
+        # ~55 MB/layer at B=8 L=329 bf16) so the backward recompute only
+        # replays the cheap conv/norm/elementwise ops: ~2/3 of the remat
+        # FLOPs vanish for ~2.6 GB of activations at 1.3B.
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if remat == "dots"
+            else None
+        )
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     xs = (params["layers"], dropout_keys) if dropout_keys is not None else params["layers"]
     (h, residual), caches = jax.lax.scan(body, (h, residual), xs)

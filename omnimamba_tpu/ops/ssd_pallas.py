@@ -55,14 +55,18 @@ def _ssd_kernel(
     srow_ref,  # (1, Hb, Q) same, row layout
     y_ref,  # (1, Hb, P, Q) out
     state_out_ref,  # (1, Hb, P, N) out
-    state_ref,  # (Hb, P, N) fp32 VMEM scratch
-    *,
+    *rest,  # [hin_ref (1, 1, Hb, P, N) out]? + state_ref (Hb, P, N) scratch
     chunk: int,
     hb: int,
     heads_per_batch: int,
     tiles_per_batch: int,
     mxu_dtype,
+    emit_chunk_states: bool,
 ):
+    if emit_chunk_states:
+        hin_ref, state_ref = rest
+    else:
+        (state_ref,) = rest
     """Per-(head-tile, chunk) body, transposed formulation.
 
     TPU vector lanes are 128-wide; headdim P=64 would half-pad every load,
@@ -116,6 +120,11 @@ def _ssd_kernel(
         gh = b * heads_per_batch + head0 + h
         D = D_ref[gh]
 
+        if emit_chunk_states:
+            # chunk-ENTRY state: the custom-VJP backward's residual
+            # (saved here for free instead of an XLA recompute pass)
+            hin_ref[0, 0, h] = state_ref[h].astype(hin_ref.dtype)
+
         s_j = S_cols[:, h : h + 1]  # (Q, 1) source decay cumsum
         s_t = S_rows[h : h + 1, :]  # (1, Q) target decay cumsum
         total = s_j[Q - 1, 0]
@@ -147,7 +156,8 @@ def _ssd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk_size", "interpret", "head_tile")
+    jax.jit,
+    static_argnames=("chunk_size", "interpret", "head_tile", "return_chunk_states"),
 )
 def ssd_pallas(
     x: jax.Array,  # (B, L, H, P)
@@ -160,9 +170,14 @@ def ssd_pallas(
     chunk_size: int = 256,
     head_tile: Optional[int] = None,
     interpret: Optional[bool] = None,
-) -> Tuple[jax.Array, jax.Array]:
+    return_chunk_states: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Same contract as ``ssd_chunked.ssd_chunked`` (zero initial state):
-    returns (y (B,L,H,P) in x.dtype, final_state (B,H,P,N) fp32)."""
+    returns (y (B,L,H,P) in x.dtype, final_state (B,H,P,N) fp32).
+
+    With ``return_chunk_states`` a third output is appended: the fp32
+    chunk-ENTRY states, canonical layout (B, C, H, P, N) — the residual the
+    Pallas backward consumes."""
     Bsz, L, H, P = x.shape
     G, N = Bmat.shape[2], Bmat.shape[3]
     if interpret is None:
@@ -227,7 +242,12 @@ def ssd_pallas(
         out_specs=[
             pl.BlockSpec((1, Hb, P, Q), lambda bt, c, D: (bt, 0, 0, c)),
             pl.BlockSpec((1, Hb, P, N), lambda bt, c, D: (bt, 0, 0, 0)),
-        ],
+        ]
+        + (
+            [pl.BlockSpec((1, 1, Hb, P, N), lambda bt, c, D: (bt, c, 0, 0, 0))]
+            if return_chunk_states
+            else []
+        ),
         scratch_shapes=[pltpu.VMEM((Hb, P, N), jnp.float32)],
     )
 
@@ -235,7 +255,7 @@ def ssd_pallas(
     # inputs keep exact fp32 operands (the fidelity/oracle path)
     mxu_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
-    y, final_state = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
             _ssd_kernel,
             chunk=Q,
@@ -243,15 +263,31 @@ def ssd_pallas(
             heads_per_batch=H,
             tiles_per_batch=HT,
             mxu_dtype=mxu_dtype,
+            emit_chunk_states=return_chunk_states,
         ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Bsz * HT, Hb, P, Lp), x.dtype),
             jax.ShapeDtypeStruct((Bsz * HT, Hb, P, N), jnp.float32),
-        ],
+        ]
+        + (
+            # residual states in x.dtype: the backward's dots cast them to
+            # the MXU dtype anyway, and it halves the residual's HBM cost
+            [jax.ShapeDtypeStruct((Bsz * HT, C, Hb, P, N), x.dtype)]
+            if return_chunk_states
+            else []
+        ),
         interpret=interpret,
     )(D_all, xf, dtr, Bf, Cf, scol, srow)
 
-    y = y.reshape(Bsz, H, P, Lp).transpose(0, 3, 1, 2)[:, :L]
-    final_state = final_state.reshape(Bsz, H, P, N)
+    y = outs[0].reshape(Bsz, H, P, Lp).transpose(0, 3, 1, 2)[:, :L]
+    final_state = outs[1].reshape(Bsz, H, P, N)
+    if return_chunk_states:
+        hin = (
+            outs[2]
+            .reshape(Bsz, HT, C, Hb, P, N)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(Bsz, C, H, P, N)
+        )
+        return y, final_state, hin
     return y, final_state

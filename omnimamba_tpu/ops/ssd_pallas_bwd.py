@@ -3,31 +3,41 @@
 Makes the fused Pallas forward (``ssd_pallas.py``) usable in training: the
 XLA-autodiff path materializes the per-chunk (Q, Q) decay/attention tensors
 as residuals (O(B·H·L·Q) HBM — GBs at the stage-2 batch), whereas this
-backward recomputes them chunk-by-chunk in VMEM from O(B·H·C·P·N)
-chunk-entry states — the flash-attention-style trade applied to state-space
-duality.
+backward recomputes them chunk-by-chunk in VMEM — the flash-attention-style
+trade applied to state-space duality. The chunk-ENTRY states it needs are
+emitted by the forward kernel itself (``return_chunk_states=True``), where
+they already live in VMEM scratch.
 
 Derivation (per head; a_k = dt_k A, s = cumsum a, pairwise weight
-w_tj = e^{s_t - s_j}[t>=j], scores_tj = C_t·B_j, u_j = dt_j x_j, h_in the
-state entering the chunk, adj = Σ_{t>chunk} e^{s_t - s_end} C_t g_tᵀ the
-adjoint carried backward over chunks, Gx = g xᵀ):
+w_tj = e^{s_t - s_j}[t>=j], scores_tj = C_t·B_j, h_in the state entering the
+chunk, adj = Σ_{t>chunk} e^{s_t - s_end} g_t C_tᵀ (kept (P, N)) the adjoint
+carried backward over chunks, Gx_tj = g_t·x_j):
 
-    y_t  = Σ_j w_tj scores_tj u_j + e^{s_t} C_t h_in + D x_t
+    y_t  = Σ_j w_tj scores_tj dt_j x_j + e^{s_t} C_t h_inᵀ + D x_t
 
     dC_t = ((Gx ∘ w ∘ dt_row) B)_t + e^{s_t} (g_t h_in)
-    dB_j = dt_j ((Gx ∘ w)ᵀ C)_j + dt_j e^{tot-s_j} (x_j adjᵀ)
-    K_j  = ((scores ∘ w)ᵀ g)_j + e^{tot-s_j} (B adj)_j ;  dx = dt∘K + D g
-    E    = scores ∘ Gx ∘ w ∘ dt_row
-    da_k = 1ᵀ((E SU) ∘ tril) + trilᵀ φ + SUᵀ χ + v          (four pair classes)
-             φ_t = e^{s_t} (g_t · (C h_inᵀ)_t)
-             χ_j = e^{tot-s_j} dt_j (x_j · (B adj)_j)
-             v   = e^{tot} <h_in, adjᵀ>
+    dB_j = dt_j ((Gx ∘ w)ᵀ C)_j + dt_j e^{tot-s_j} (x_j · adj)
+    K_j  = ((scores ∘ w)ᵀ g)_j + e^{tot-s_j} (adj B_jᵀ) ;  dx = dt∘K + D g
+    da_k = suffix_t(r)_k + Σχ + v ;   r = Σ_n C∘dC − Σ_n B∘dB
+             χ_j = e^{tot-s_j} dt_j (x_j · (adj Bᵀ)_j) = Σ_n B∘dB2_j
+             v   = e^{tot} <h_in, adj>               [dL/d total]
     ddt  = A da + Σ_p x ∘ K ;  dA_h = Σ dt∘da ;  dD_h = Σ g·x
 
-The adjoint runs in VMEM scratch over reverse-ordered chunks (index maps
-walk c = C-1-cr); the final-state cotangent seeds it (host-transposed to
-(N, P)). dB/dC are per-tile partials reduced over a group's tiles on the
-host; dA/dD are per-(tile, chunk) partials likewise.
+(da folds the decay cotangent into the already-computed dC/dB outputs:
+dL/ds_t = Σ_j E_tj + φ_t = Σ_n C_tn dC_tn and dL/ds_j ∋ −colsum(E)−χ =
+−Σ_n B_jn dB_jn, with E = scores∘Gx∘w∘dt_row. The naive corner-sum
+da_k = Σ_{t≥k, j<k} E_tj is a (Q,Q)@(Q,Q) matmul — one third of the
+backward FLOPs; here it costs two (Q,N) row-reductions and one masked
+(Q,Q)@(Q,1) suffix matvec, and E never materializes.)
+
+TPU mapping mirrors the forward kernel: per-head tensors are transposed —
+time on the 128-wide lane dim, headdim P=64 on sublanes — and every large
+dot takes ``mxu_dtype`` operands (bf16 native on the MXU; fp32 operands
+cost 3-6x emulation passes) with fp32 accumulation. The grid walks
+(batch, reverse-chunk, head-tile) with the head-tile INNERMOST so dB/dC
+accumulate across a group's tiles directly in the VMEM output block — no
+per-tile partials round-tripping through HBM. The per-(batch, head) adjoint
+states live in one (HT, Hb, P, N) fp32 scratch indexed by the tile id.
 """
 
 from __future__ import annotations
@@ -44,131 +54,194 @@ from omnimamba_tpu.ops.ssd_pallas import effective_chunk, ssd_pallas
 def _ssd_bwd_kernel(
     # scalar prefetch
     A_ref,  # (B*H,)
-    # blocks
-    x_ref,  # (1, Hb, Q, P)
+    # blocks (transposed per-head layout: time on the LANE dim)
+    x_ref,  # (1, Hb, P, Q)
+    g_ref,  # (1, Hb, P, Q) dL/dy
+    dtr_ref,  # (1, Hb, Q)
     dtc_ref,  # (1, Q, Hb)
-    g_ref,  # (1, Hb, Q, P) dL/dy
     B_ref,  # (1, Q, N)
     C_ref,  # (1, Q, N)
-    hin_ref,  # (1, 1, Hb, P, N) chunk-entry states
-    gstate_ref,  # (1, Hb, N, P) final-state cotangent, pre-transposed
+    scol_ref,  # (1, Q, Hb) within-chunk decay cumsum, column layout
+    srow_ref,  # (1, Hb, Q) same, row layout
+    hin_ref,  # (1, 1, Hb, P, N) chunk-entry states (fwd residual)
+    gstate_ref,  # (1, Hb, P, N) final-state cotangent
     # outputs
-    dx_ref,  # (1, Hb, Q, P)  (x-path only; D*g added on host)
+    dx_ref,  # (1, Hb, P, Q)  (x-path only; D*g added on host)
     ddt_ref,  # (1, Q, Hb)
-    dB_ref,  # (1, Q, N) per-tile partial
-    dC_ref,  # (1, Q, N) per-tile partial
-    dA_ref,  # (1, 1, 1, Hb) per-(tile, chunk) partial
+    dB_ref,  # (1, Q, N) accumulated across the group's tiles in VMEM
+    dC_ref,  # (1, Q, N) accumulated likewise
+    dA_ref,  # (1, 1, 1, Hb) per-(chunk, tile) partial
     dD_ref,  # (1, 1, 1, Hb)
     # scratch
-    adj_ref,  # (Hb, N, P) fp32 adjoint state
+    adj_ref,  # (HT, Hb, P, N) fp32 adjoint states, all tiles
+    scores_ref,  # (Q, Q) fp32, shared across a group's tiles
     *,
     chunk: int,
     hb: int,
     heads_per_batch: int,
     tiles_per_batch: int,
+    tiles_per_group: int,
+    mxu_dtype,
 ):
+    b = pl.program_id(0)
     cr = pl.program_id(1)  # walks chunks in REVERSE via the index maps
-    bt = pl.program_id(0)
+    t = pl.program_id(2)  # head tile, innermost
+    first_in_group = t % tiles_per_group == 0
 
     @pl.when(cr == 0)
     def _():
         for h in range(hb):
-            adj_ref[h] = gstate_ref[0, h].astype(jnp.float32)
+            adj_ref[t, h] = gstate_ref[0, h].astype(jnp.float32)
 
     Q = chunk
+    dtr = dtr_ref[0].astype(jnp.float32)  # (Hb, Q)
     dtc = dtc_ref[0].astype(jnp.float32)  # (Q, Hb)
-    Bm = B_ref[0].astype(jnp.float32)  # (Q, N)
-    Cm = C_ref[0].astype(jnp.float32)  # (Q, N)
+    Bmx = B_ref[0].astype(mxu_dtype)  # (Q, N)
+    Cmx = C_ref[0].astype(mxu_dtype)  # (Q, N)
+    S_cols = scol_ref[0]  # (Q, Hb) fp32
+    S_rows = srow_ref[0]  # (Hb, Q) fp32
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)  # t
-    col = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)  # j / k
-    mask = col <= row
-    tril = mask.astype(jnp.float32)  # [j <= t]
-    strict_upper = (col > row).astype(jnp.float32)  # SU_{jk} = [j < k]
+    row = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)  # t (target)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)  # j (source)
+    mask = (row >= col).astype(jnp.float32)  # [t >= j]
+    ones_q = jnp.ones((Q, 1), jnp.float32)
+    ones_p = jnp.ones((x_ref.shape[2], 1), jnp.float32)
 
-    scores = jnp.dot(Cm, Bm.T, preferred_element_type=jnp.float32)  # (Q,Q)
+    # scores_tj = C_t · B_j — shared across the group's tiles (ngroups=1 in
+    # every shipped config), so compute once per (batch, chunk, group)
+    @pl.when(first_in_group)
+    def _():
+        scores_ref[...] = jax.lax.dot_general(
+            Cmx, Bmx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    b = bt // tiles_per_batch
-    head0 = (bt % tiles_per_batch) * hb
+    scores = scores_ref[...]  # (Q, Q) fp32, (t, j)
 
-    dB_acc = jnp.zeros((Q, Bm.shape[1]), jnp.float32)
-    dC_acc = jnp.zeros((Q, Cm.shape[1]), jnp.float32)
+    head0 = t * hb
+    dB_acc = jnp.zeros((Q, Bmx.shape[1]), jnp.float32)
+    dC_acc = jnp.zeros((Q, Cmx.shape[1]), jnp.float32)
     ddt_cols = []
     da_cols = []
     gx_cols = []
+
+    B32 = Bmx.astype(jnp.float32)
+    C32 = Cmx.astype(jnp.float32)
+
+    def csum(M):  # contract dim 0 with ones -> (cols, 1) column vector
+        return jax.lax.dot_general(
+            M, ones_p if M.shape[0] == ones_p.shape[0] else ones_q,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     for h in range(hb):
         gh = b * heads_per_batch + head0 + h
         A = A_ref[gh]
 
-        x = x_ref[0, h].astype(jnp.float32)  # (Q, P)
-        g = g_ref[0, h].astype(jnp.float32)  # (Q, P)
-        h_in = hin_ref[0, 0, h].astype(jnp.float32)  # (P, N)
-        adj = adj_ref[h]  # (N, P)
+        xT = x_ref[0, h]  # (P, Q) input dtype
+        gT = g_ref[0, h]
+        xf = xT.astype(jnp.float32)
+        gf = gT.astype(jnp.float32)
+        h_in = hin_ref[0, 0, h]  # (P, N)
+        h_mx = h_in.astype(mxu_dtype)
+        adj = adj_ref[t, h]  # (P, N) fp32
+        adj_mx = adj.astype(mxu_dtype)
 
+        dt_row = dtr[h : h + 1, :]  # (1, Q)
         dt_col = dtc[:, h : h + 1]  # (Q, 1)
-        a_col = dt_col * A
-        s_col = jnp.dot(tril, a_col, preferred_element_type=jnp.float32)  # (Q,1)
-        s_row = jnp.dot(
-            a_col.reshape(1, Q), tril.T, preferred_element_type=jnp.float32
-        )  # (1, Q)
+        s_col = S_cols[:, h : h + 1]  # (Q, 1), s_t on sublanes
+        s_row = S_rows[h : h + 1, :]  # (1, Q), s_j on lanes
         total = s_col[Q - 1, 0]
 
-        w = jnp.where(mask, jnp.exp(s_col - s_row), 0.0)  # (Q,Q)
-        Gx = jnp.dot(g, x.T, preferred_element_type=jnp.float32)  # (Q,Q)
-        dt_row = dt_col.reshape(1, Q)
-        Gxw = Gx * w
-        E = scores * Gxw * dt_row
+        # decay pairs (clamped: masked entries have positive exponent)
+        w = mask * jnp.exp(jnp.minimum(s_col - s_row, 0.0))  # (Q,Q) (t,j)
+        es_col = jnp.exp(s_col)  # (Q, 1)
+        carry_col = jnp.exp(total - s_col)  # (Q, 1), e^{tot - s_j}
+        carry_row = jnp.exp(total - s_row)  # (1, Q)
+        etot = jnp.exp(total)
 
-        # --- dC -------------------------------------------------------------
-        dC_h = jnp.dot(Gxw * dt_row, Bm, preferred_element_type=jnp.float32)
-        dC_h = dC_h + jnp.exp(s_col) * jnp.dot(
-            g, h_in, preferred_element_type=jnp.float32
+        Gx = jax.lax.dot_general(  # Gx_tj = g_t · x_j
+            gT.astype(mxu_dtype), xT.astype(mxu_dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (Q, Q)
+        Gxw = Gx * w
+        Gxwd = (Gxw * dt_row).astype(mxu_dtype)
+        SW = (scores * w).astype(mxu_dtype)
+
+        # --- dC ---------------------------------------------------------
+        dC_h = jax.lax.dot_general(  # (Gxw ∘ dt_row) @ B
+            Gxwd, Bmx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dC_h = dC_h + es_col * jax.lax.dot_general(  # e^{s_t} g_t h_in
+            gT.astype(mxu_dtype), h_mx, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dC_acc = dC_acc + dC_h
 
-        # --- dB -------------------------------------------------------------
-        carry_j = jnp.exp(total - s_col)  # (Q, 1)
-        dB_h = dt_col * jnp.dot(Gxw.T, Cm, preferred_element_type=jnp.float32)
-        dB_h = dB_h + dt_col * carry_j * jnp.dot(
-            x, adj.T, preferred_element_type=jnp.float32
+        # --- dB ---------------------------------------------------------
+        dB1 = jax.lax.dot_general(  # (Gxw)ᵀ @ C, contract t
+            Gxw.astype(mxu_dtype), Cmx, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
+        dB2 = (
+            dt_col
+            * carry_col
+            * jax.lax.dot_general(  # x_j · adj
+                xT.astype(mxu_dtype), adj_mx, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dB_h = dt_col * dB1 + dB2
         dB_acc = dB_acc + dB_h
 
-        # --- K, dx ------------------------------------------------------------
-        W = jnp.dot(Bm, adj, preferred_element_type=jnp.float32)  # (Q, P)
-        K = jnp.dot((scores * w).T, g, preferred_element_type=jnp.float32)
-        K = K + carry_j * W
-        dx_ref[0, h] = (dt_col * K).astype(dx_ref.dtype)
-
-        # --- da ---------------------------------------------------------------
-        PS = jnp.dot(E, strict_upper, preferred_element_type=jnp.float32)
-        da = jnp.dot(
-            jnp.ones((1, Q), jnp.float32), PS * tril,
+        # --- K, dx ------------------------------------------------------
+        Wt = jax.lax.dot_general(  # Wt_pj = (adj B_jᵀ)_p
+            adj_mx, Bmx, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(Q, 1)
-        O = jnp.dot(Cm, h_in.T, preferred_element_type=jnp.float32)  # (Q, P)
-        phi = jnp.exp(s_col) * jnp.sum(g * O, axis=1, keepdims=True)
-        da = da + jnp.dot(tril.T, phi, preferred_element_type=jnp.float32)
-        chi = carry_j * dt_col * jnp.sum(x * W, axis=1, keepdims=True)
-        da = da + jnp.dot(strict_upper.T, chi, preferred_element_type=jnp.float32)
-        v = jnp.exp(total) * jnp.sum(h_in * adj.T)
-        da = da + v
+        )  # (P, Q)
+        Kt = jax.lax.dot_general(  # K_j = Σ_t SW_tj g_t
+            gT.astype(mxu_dtype), SW, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, Q)
+        Kt = Kt + carry_row * Wt
+        dx_ref[0, h] = (dt_row * Kt).astype(dx_ref.dtype)
+
+        # --- da: decay cotangent folded into dC/dB (see module docstring)
+        chi = jnp.sum(B32 * dB2, axis=1, keepdims=True)  # (Q, 1)
+        r = jnp.sum(C32 * dC_h, axis=1, keepdims=True) - jnp.sum(
+            B32 * dB_h, axis=1, keepdims=True
+        )
+        v = etot * jnp.sum(h_in.astype(jnp.float32) * adj)
+        da = csum(mask * r) + (jnp.sum(chi) + v)  # suffix: Σ_{t≥k} r_t
         da_cols.append(da)
 
-        # --- ddt --------------------------------------------------------------
-        ddt_cols.append(A * da + jnp.sum(x * K, axis=1, keepdims=True))
-        gx_cols.append(jnp.sum(g * x, axis=1, keepdims=True))
+        # --- ddt ----------------------------------------------------------
+        ddt_cols.append(A * da + csum(xf * Kt))
+        gx_cols.append(csum(gf * xf))
 
-        # --- adjoint carry to the earlier chunk --------------------------------
-        adj_ref[h] = jnp.exp(total) * adj + jnp.dot(
-            (Cm * jnp.exp(s_col)).T, g, preferred_element_type=jnp.float32
-        )
+        # --- adjoint carry to the earlier chunk ---------------------------
+        adj_ref[t, h] = etot * adj + jax.lax.dot_general(
+            gT.astype(mxu_dtype),
+            (Cmx.astype(jnp.float32) * es_col).astype(mxu_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, N): Σ_t g_t e^{s_t} C_t
 
     da_all = jnp.concatenate(da_cols, axis=1)  # (Q, Hb)
     ddt_ref[0] = jnp.concatenate(ddt_cols, axis=1).astype(ddt_ref.dtype)
-    dB_ref[0] = dB_acc.astype(dB_ref.dtype)
-    dC_ref[0] = dC_acc.astype(dC_ref.dtype)
+
+    @pl.when(first_in_group)
+    def _():
+        dB_ref[0] = dB_acc.astype(dB_ref.dtype)
+        dC_ref[0] = dC_acc.astype(dC_ref.dtype)
+
+    @pl.when(jnp.logical_not(first_in_group))
+    def _():
+        dB_ref[0] = dB_ref[0] + dB_acc.astype(dB_ref.dtype)
+        dC_ref[0] = dC_ref[0] + dC_acc.astype(dC_ref.dtype)
+
     dA_ref[0, 0, 0] = jnp.sum(dtc * da_all, axis=0).astype(dA_ref.dtype)
     dD_ref[0, 0, 0] = jnp.sum(
         jnp.concatenate(gx_cols, axis=1), axis=0
@@ -176,8 +249,9 @@ def _ssd_bwd_kernel(
 
 
 def _bwd_impl(
-    x, dt, A, Bmat, Cmat, hin, gy, gstate_t, *, chunk_size, head_tile, interpret
+    x, dt, A, Bmat, Cmat, hin, gy, gstate, *, chunk_size, head_tile, interpret
 ):
+    """hin: canonical (B, C, H, P, N) fp32 chunk-entry states."""
     Bsz, L, H, P = x.shape
     G, N = Bmat.shape[2], Bmat.shape[3]
     Q = chunk_size
@@ -196,41 +270,65 @@ def _bwd_impl(
         Cmat = jnp.pad(Cmat, ((0, 0), (0, pad), (0, 0), (0, 0)))
         gy = jnp.pad(gy, ((0, 0), (0, pad), (0, 0), (0, 0)))
 
-    xf = x.transpose(0, 2, 1, 3).reshape(Bsz * HT, Hb, Lp, P)
-    gf = gy.astype(x.dtype).transpose(0, 2, 1, 3).reshape(Bsz * HT, Hb, Lp, P)
+    # transposed per-head layout (time on lanes), as in the forward
+    xf = x.transpose(0, 2, 3, 1).reshape(Bsz * HT, Hb, P, Lp)
+    gf = gy.astype(x.dtype).transpose(0, 2, 3, 1).reshape(Bsz * HT, Hb, P, Lp)
     dt32 = dt.astype(jnp.float32)
+    dtr = dt32.transpose(0, 2, 1).reshape(Bsz * HT, Hb, Lp)
     dtc = dt32.reshape(Bsz, Lp, HT, Hb).transpose(0, 2, 1, 3).reshape(Bsz * HT, Lp, Hb)
     Bf = Bmat.transpose(0, 2, 1, 3).reshape(Bsz * G, Lp, N)
     Cf = Cmat.transpose(0, 2, 1, 3).reshape(Bsz * G, Lp, N)
     A_all = jnp.tile(A.astype(jnp.float32), Bsz)
 
-    def brow(bt):
-        return (bt // HT) * G + (bt % HT) // tiles_per_group
+    # decay cumsums in both layouts (XLA-side, as in the forward kernel)
+    a = dt32 * A.astype(jnp.float32)[None, None, :]  # (B, Lp, H)
+    s = jnp.cumsum(a.reshape(Bsz, C, Q, H), axis=2).reshape(Bsz, Lp, H)
+    scol = s.reshape(Bsz, Lp, HT, Hb).transpose(0, 2, 1, 3).reshape(Bsz * HT, Lp, Hb)
+    srow = s.transpose(0, 2, 1).reshape(Bsz * HT, Hb, Lp)
+
+    hinf = (
+        hin.transpose(0, 2, 1, 3, 4)  # (B, H, C, P, N)
+        .reshape(Bsz * HT, Hb, C, P, N)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(Bsz * HT, C, Hb, P, N)
+    )
+    gstatef = gstate.astype(jnp.float32).reshape(Bsz * HT, Hb, P, N)
 
     def rc(cr):
         return C - 1 - cr
 
+    def brow(b, t):  # (batch, tile) -> (batch, group) row of B/C/dB/dC
+        return b * G + t // tiles_per_group
+
+    mxu_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Bsz * HT, C),
+        grid=(Bsz, C, HT),
         in_specs=[
-            pl.BlockSpec((1, Hb, Q, P), lambda bt, cr, A: (bt, 0, rc(cr), 0)),
-            pl.BlockSpec((1, Q, Hb), lambda bt, cr, A: (bt, rc(cr), 0)),
-            pl.BlockSpec((1, Hb, Q, P), lambda bt, cr, A: (bt, 0, rc(cr), 0)),
-            pl.BlockSpec((1, Q, N), lambda bt, cr, A: (brow(bt), rc(cr), 0)),
-            pl.BlockSpec((1, Q, N), lambda bt, cr, A: (brow(bt), rc(cr), 0)),
-            pl.BlockSpec((1, 1, Hb, P, N), lambda bt, cr, A: (bt, rc(cr), 0, 0, 0)),
-            pl.BlockSpec((1, Hb, N, P), lambda bt, cr, A: (bt, 0, 0, 0)),
+            pl.BlockSpec((1, Hb, P, Q), lambda b, cr, t, A: (b * (H // Hb) + t, 0, 0, rc(cr))),
+            pl.BlockSpec((1, Hb, P, Q), lambda b, cr, t, A: (b * (H // Hb) + t, 0, 0, rc(cr))),
+            pl.BlockSpec((1, Hb, Q), lambda b, cr, t, A: (b * (H // Hb) + t, 0, rc(cr))),
+            pl.BlockSpec((1, Q, Hb), lambda b, cr, t, A: (b * (H // Hb) + t, rc(cr), 0)),
+            pl.BlockSpec((1, Q, N), lambda b, cr, t, A: (brow(b, t), rc(cr), 0)),
+            pl.BlockSpec((1, Q, N), lambda b, cr, t, A: (brow(b, t), rc(cr), 0)),
+            pl.BlockSpec((1, Q, Hb), lambda b, cr, t, A: (b * (H // Hb) + t, rc(cr), 0)),
+            pl.BlockSpec((1, Hb, Q), lambda b, cr, t, A: (b * (H // Hb) + t, 0, rc(cr))),
+            pl.BlockSpec((1, 1, Hb, P, N), lambda b, cr, t, A: (b * (H // Hb) + t, rc(cr), 0, 0, 0)),
+            pl.BlockSpec((1, Hb, P, N), lambda b, cr, t, A: (b * (H // Hb) + t, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, Hb, Q, P), lambda bt, cr, A: (bt, 0, rc(cr), 0)),
-            pl.BlockSpec((1, Q, Hb), lambda bt, cr, A: (bt, rc(cr), 0)),
-            pl.BlockSpec((1, Q, N), lambda bt, cr, A: (bt, rc(cr), 0)),
-            pl.BlockSpec((1, Q, N), lambda bt, cr, A: (bt, rc(cr), 0)),
-            pl.BlockSpec((1, 1, 1, Hb), lambda bt, cr, A: (bt, rc(cr), 0, 0)),
-            pl.BlockSpec((1, 1, 1, Hb), lambda bt, cr, A: (bt, rc(cr), 0, 0)),
+            pl.BlockSpec((1, Hb, P, Q), lambda b, cr, t, A: (b * (H // Hb) + t, 0, 0, rc(cr))),
+            pl.BlockSpec((1, Q, Hb), lambda b, cr, t, A: (b * (H // Hb) + t, rc(cr), 0)),
+            pl.BlockSpec((1, Q, N), lambda b, cr, t, A: (brow(b, t), rc(cr), 0)),
+            pl.BlockSpec((1, Q, N), lambda b, cr, t, A: (brow(b, t), rc(cr), 0)),
+            pl.BlockSpec((1, 1, 1, Hb), lambda b, cr, t, A: (b * (H // Hb) + t, rc(cr), 0, 0)),
+            pl.BlockSpec((1, 1, 1, Hb), lambda b, cr, t, A: (b * (H // Hb) + t, rc(cr), 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((Hb, N, P), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((HT, Hb, P, N), jnp.float32),
+            pltpu.VMEM((Q, Q), jnp.float32),
+        ],
     )
 
     dx_t, ddt_t, dB_t, dC_t, dA_t, dD_t = pl.pallas_call(
@@ -240,72 +338,33 @@ def _bwd_impl(
             hb=Hb,
             heads_per_batch=H,
             tiles_per_batch=HT,
+            tiles_per_group=tiles_per_group,
+            mxu_dtype=mxu_dtype,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Bsz * HT, Hb, Lp, P), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz * HT, Hb, P, Lp), x.dtype),
             jax.ShapeDtypeStruct((Bsz * HT, Lp, Hb), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz * HT, Lp, N), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz * HT, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz * G, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz * G, Lp, N), jnp.float32),
             jax.ShapeDtypeStruct((Bsz * HT, C, 1, Hb), jnp.float32),
             jax.ShapeDtypeStruct((Bsz * HT, C, 1, Hb), jnp.float32),
         ],
         interpret=interpret,
-    )(A_all, xf, dtc, gf, Bf, Cf, hin, gstate_t)
+        # v5e VMEM is 128M; the compiler's 16M scoped default blocks
+        # head_tile=16 by a hair
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(A_all, xf, gf, dtr, dtc, Bf, Cf, scol, srow, hinf, gstatef)
 
-    dx = dx_t.reshape(Bsz, H, Lp, P).transpose(0, 2, 1, 3)[:, :L]
+    dx = dx_t.reshape(Bsz, H, P, Lp).transpose(0, 3, 1, 2)[:, :L]
     ddt = (
         ddt_t.reshape(Bsz, HT, Lp, Hb).transpose(0, 2, 1, 3).reshape(Bsz, Lp, H)[:, :L]
     )
-    dBg = (
-        dB_t.reshape(Bsz, G, tiles_per_group, Lp, N).sum(2).transpose(0, 2, 1, 3)[:, :L]
-    )
-    dCg = (
-        dC_t.reshape(Bsz, G, tiles_per_group, Lp, N).sum(2).transpose(0, 2, 1, 3)[:, :L]
-    )
+    dBg = dB_t.reshape(Bsz, G, Lp, N).transpose(0, 2, 1, 3)[:, :L]
+    dCg = dC_t.reshape(Bsz, G, Lp, N).transpose(0, 2, 1, 3)[:, :L]
     dA = dA_t.reshape(Bsz, HT, C, Hb).sum(axis=(0, 2)).reshape(H)
     dD_head = dD_t.reshape(Bsz, HT, C, Hb).sum(axis=(0, 2)).reshape(H)
     return dx, ddt, dA, dBg, dCg, dD_head
-
-
-def _chunk_entry_states(x, dt, A, Bmat, chunk_size):
-    """Per-chunk entering states (B, C, H, P, N) — the bwd residual."""
-    Bsz, L, H, P = x.shape
-    G, N = Bmat.shape[2], Bmat.shape[3]
-    Q = chunk_size
-    pad = (-L) % Q
-    Lp = L + pad
-    C = Lp // Q
-    rep = H // G
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
-        Bmat = jnp.pad(Bmat, ((0, 0), (0, pad), (0, 0), (0, 0)))
-
-    xc = x.reshape(Bsz, C, Q, H, P).astype(jnp.float32)
-    dtc = dt.reshape(Bsz, C, Q, H).astype(jnp.float32)
-    a = dtc * A.astype(jnp.float32)[None, None, None]
-    s = jnp.cumsum(a, axis=2)
-    total = s[:, :, -1, :]
-    Bh = jnp.repeat(Bmat.reshape(Bsz, C, Q, G, N).astype(jnp.float32), rep, axis=3)
-    state_decay = jnp.exp(total[:, :, None] - s)
-    chunk_states = jnp.einsum(
-        "bcqhp,bcqhn->bchpn",
-        (dtc[..., None] * xc) * state_decay[..., None],
-        Bh,
-        preferred_element_type=jnp.float32,
-    )
-
-    def pass_state(h, inp):
-        tot_c, S_c = inp
-        return h * jnp.exp(tot_c)[..., None, None] + S_c, h
-
-    _, h_prev = jax.lax.scan(
-        pass_state,
-        jnp.zeros((Bsz, H, P, N), jnp.float32),
-        (jnp.moveaxis(total, 1, 0), jnp.moveaxis(chunk_states, 1, 0)),
-    )
-    return jnp.moveaxis(h_prev, 0, 1)  # (B, C, H, P, N)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
@@ -316,49 +375,38 @@ def ssd_pallas_ad(
 
     Same contract as ``ssd_chunked`` (returns (y, final_state)); training
     selects it via ``scan_impl='pallas_ad'``. ``D=None`` is supported.
+    ``head_tile`` sets the BACKWARD kernel's tile (the forward picks its
+    own default); both tilings meet at the canonical chunk-states layout.
     """
     return ssd_pallas(
         x, dt, A, Bmat, Cmat, D,
-        chunk_size=chunk_size, head_tile=head_tile, interpret=interpret,
+        chunk_size=chunk_size, head_tile=None, interpret=interpret,
     )
 
 
 def _fwd(x, dt, A, Bmat, Cmat, D, chunk_size, head_tile, interpret):
-    out = ssd_pallas(
+    y, state, hin = ssd_pallas(
         x, dt, A, Bmat, Cmat, D,
-        chunk_size=chunk_size, head_tile=head_tile, interpret=interpret,
+        chunk_size=chunk_size, head_tile=None, interpret=interpret,
+        return_chunk_states=True,
     )
-    return out, (x, dt, A, Bmat, Cmat, D)
+    return (y, state), (x, dt, A, Bmat, Cmat, D, hin)
 
 
 def _bwd(chunk_size, head_tile, interpret, res, cts):
-    x, dt, A, Bmat, Cmat, D = res
+    x, dt, A, Bmat, Cmat, D, hin = res
     gy, gstate = cts
     Bsz, L, H, P = x.shape
-    G, N = Bmat.shape[2], Bmat.shape[3]
+    G = Bmat.shape[2]
     rep = H // G
-    ht = head_tile if head_tile is not None else min(8, rep)
+    # default matches the forward's tiling so the chunk-states residual's
+    # tile<->canonical transposes cancel to a bitcast inside the same jit
+    ht = head_tile if head_tile is not None else min(16, rep)
     interp = interpret if interpret is not None else jax.default_backend() != "tpu"
     Q = effective_chunk(chunk_size, interp)
 
-    h_prev = _chunk_entry_states(x, dt, A, Bmat, chunk_size)  # (B, C, H, P, N)
-    C = h_prev.shape[1]
-    HT = H // ht
-    hin = (
-        h_prev.transpose(0, 2, 1, 3, 4)
-        .reshape(Bsz, HT, ht, C, P, N)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(Bsz * HT, C, ht, P, N)
-    )
-    gstate_t = (
-        gstate.astype(jnp.float32)
-        .transpose(0, 1, 3, 2)  # (B, H, N, P)
-        .reshape(Bsz, HT, ht, N, P)
-        .reshape(Bsz * HT, ht, N, P)
-    )
-
     dx, ddt, dA, dB, dC, dD_head = _bwd_impl(
-        x, dt, A, Bmat, Cmat, hin, gy, gstate_t,
+        x, dt, A, Bmat, Cmat, hin, gy, gstate,
         chunk_size=Q, head_tile=ht, interpret=interp,
     )
     if D is not None:

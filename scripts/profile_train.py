@@ -1,0 +1,203 @@
+"""Profile the 1.3B t2i training step on the real TPU chip.
+
+Modes:
+  python scripts/profile_train.py step   [--batch 8] [--trace DIR]
+  python scripts/profile_train.py ssd    [--batch 8] [--seqlen 1280]
+
+``step`` builds the full t2i-only train step (pallas_ad + remat, as
+trainer.py selects on TPU), times steady-state steps, and optionally
+captures a jax.profiler trace for an op-level breakdown.
+
+``ssd`` microbenches ssd_pallas_ad fwd+bwd alone at 1.3B head geometry
+(H=64, P=64, N=128, ngroups=1) and prints achieved TFLOP/s so kernel work
+can be judged against the v5e ~197 TFLOP/s bf16 peak.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def sync(x):
+    import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    return np.asarray(leaf.ravel()[-1])
+
+
+def setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/omnimamba_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    return jax
+
+
+def bench_step(args):
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from omnimamba_tpu.config import MambaConfig, TrainConfig, VQConfig, VisionConfig
+    from omnimamba_tpu.models.omnimamba import OmniMambaModel, init_omnimamba
+    from omnimamba_tpu.train.trainer import create_train_state, make_train_step
+
+    import dataclasses
+
+    cfg = MambaConfig(mmu_task=False)
+    if args.chunk:
+        cfg = dataclasses.replace(
+            cfg, mixer=dataclasses.replace(cfg.mixer, chunk_size=args.chunk)
+        )
+    model = OmniMambaModel(cfg=cfg, vision_cfg=VisionConfig(), vq_cfg=VQConfig(), sptids={})
+    remat = False if args.no_remat else (args.remat_policy or True)
+    tcfg = TrainConfig(stage="finetune", t2i_task=True, mmu_task=False,
+                       scan_impl=args.scan_impl, remat=remat)
+
+    t0 = time.time()
+    params = init_omnimamba(jax.random.PRNGKey(0), model, dtype=jnp.bfloat16, with_vq=False)
+    n_params = sum(x.size for x in jax.tree.leaves(params["mamba"]))
+    print(f"init {n_params/1e9:.3f}B params in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    state, tx = create_train_state(params, tcfg)
+    step_fn = make_train_step(model, tx, tcfg, dtype=jnp.bfloat16)
+
+    B = args.batch
+    rng = np.random.default_rng(0)
+    batch = {
+        "t2i_flow": {
+            "inputs": jnp.asarray(rng.integers(0, 16384, (B, 256)), jnp.int32),
+            "caption_ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 73)), jnp.int32),
+        }
+    }
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    state, metrics = step_fn(state, batch, key)
+    sync(metrics)
+    print(f"compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # steady state
+    n = args.iters
+    t0 = time.time()
+    for _ in range(n):
+        state, metrics = step_fn(state, batch, key)
+    sync(metrics)
+    dt = (time.time() - t0) / n
+    tokens = B * 329
+    # fwd 2NF + bwd 4NF (+ remat ~2NF not counted: MFU convention counts
+    # only the mathematically required FLOPs)
+    flops = 6 * n_params * tokens
+    mfu = flops / dt / 197e12
+    print(
+        f"STEP b={B} L=329 {dt*1e3:.1f} ms/step  {tokens/dt:.0f} tok/s  "
+        f"MFU(6NT/197T)={mfu*100:.1f}%",
+    )
+
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        for _ in range(3):
+            state, metrics = step_fn(state, batch, key)
+        sync(metrics)
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.trace}", file=sys.stderr)
+
+
+def bench_ssd(args):
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from omnimamba_tpu.ops.ssd_chunked import ssd_chunked
+    from omnimamba_tpu.ops.ssd_pallas_bwd import ssd_pallas_ad
+
+    B, L = args.batch, args.seqlen
+    H, P, N, G = 64, 64, 128, 1
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, L, H, P)), jnp.bfloat16)
+    dt = jnp.asarray(rng.uniform(0.001, 0.1, (B, L, H)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(1, 16, (H,)), jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((B, L, G, N)), jnp.bfloat16)
+    Cm = jnp.asarray(rng.standard_normal((B, L, G, N)), jnp.bfloat16)
+    D = jnp.asarray(rng.standard_normal((H,)), jnp.float32)
+
+    impl = {"pallas_ad": ssd_pallas_ad, "chunked": ssd_chunked}[args.scan_impl]
+
+    kw = {}
+    if args.head_tile and args.scan_impl == "pallas_ad":
+        kw["head_tile"] = args.head_tile
+
+    def loss(x, dt, A, Bm, Cm, D):
+        y, st = impl(x, dt, A, Bm, Cm, D, **kw)
+        return (
+            jnp.sum(y.astype(jnp.float32) ** 2) + jnp.sum(st ** 2),
+        )[0]
+
+    grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5)))
+    fwd_fn = jax.jit(lambda *a: impl(*a, **kw)[0])
+
+    t0 = time.time()
+    g = grad_fn(x, dt, A, Bm, Cm, D)
+    sync(g)
+    print(f"bwd compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    y = fwd_fn(x, dt, A, Bm, Cm, D)
+    sync(y)
+    print(f"fwd compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    n = args.iters
+    t0 = time.time()
+    for _ in range(n):
+        y = fwd_fn(x, dt, A, Bm, Cm, D)
+    sync(y)
+    dt_fwd = (time.time() - t0) / n
+
+    t0 = time.time()
+    for _ in range(n):
+        g = grad_fn(x, dt, A, Bm, Cm, D)
+    sync(g)
+    dt_both = (time.time() - t0) / n
+
+    # fwd MACs per token-head: yT P*Q + inter P*N + state P*N + scores Q*N/H
+    Q = 256
+    macs_fwd = B * L * H * (P * Q + 2 * P * N + Q * N // H)
+    print(
+        f"SSD {args.scan_impl} B={B} L={L} ht={args.head_tile}: "
+        f"fwd {dt_fwd*1e3:.2f} ms ({2*macs_fwd/dt_fwd/1e12:.1f} TF/s)  "
+        f"fwd+bwd {dt_both*1e3:.2f} ms"
+    )
+
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        g = grad_fn(x, dt, A, Bm, Cm, D)
+        sync(g)
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.trace}", file=sys.stderr)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("mode", choices=["step", "ssd"])
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seqlen", type=int, default=1280)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--head-tile", type=int, default=0)
+    p.add_argument("--scan-impl", default="pallas_ad")
+    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--remat-policy", default=None, help="e.g. 'dots'")
+    p.add_argument("--chunk", type=int, default=0)
+    p.add_argument("--trace", default=None)
+    args = p.parse_args()
+    if args.mode == "step":
+        bench_step(args)
+    else:
+        bench_ssd(args)
+
+
+if __name__ == "__main__":
+    main()
