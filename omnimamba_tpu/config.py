@@ -411,9 +411,10 @@ class TrainConfig:
     scan_impl: str = "auto"
     # gradient checkpointing over the 48-block scan (trades ~30% step time
     # for O(1)-in-depth activation memory). True = full remat;
-    # "dots" = keep matmul outputs (skips ~2/3 of the recompute FLOPs for
-    # ~2.6 GB more activations at 1.3B B=8 — the fast choice when it fits)
-    remat: Any = "dots"
+    # "proj" = additionally keep each block's in_proj outputs (~2.1 GB at
+    # 1.3B B=8) so the backward skips the dominant matmul recompute;
+    # "dots" = keep every matmul output (OOMs at 1.3B B=8 on one chip)
+    remat: Any = "proj"
 
     @classmethod
     def from_yaml(cls, path: str) -> "TrainConfig":

@@ -215,7 +215,16 @@ def backbone_forward(
         if pe.shape[1] < L:
             # beyond the 1500-entry table (mixer_seq_simple.py:301-303) the
             # positions carry no learned signal — long-context prefill pads
-            # with zeros (decode clamps to the last entry)
+            # with zeros (decode clamps to the last entry). The reference
+            # would crash here; warn once per compile about the divergence.
+            import logging
+
+            logging.getLogger("omnimamba").warning(
+                "mmu sequence length %d exceeds the %d-entry mmu_pos_embed "
+                "table; positions beyond it get ZERO positional signal "
+                "(reference would index-error — mixer_seq_simple.py:398-402)",
+                L, pe.shape[1],
+            )
             pe = jnp.pad(pe, ((0, 0), (0, L - pe.shape[1]), (0, 0)))
         h = h + pe
 
@@ -258,15 +267,16 @@ def backbone_forward(
     if remat:
         # rematerialize each block on backward: trades FLOPs for HBM on the
         # 48-layer scan (jax.checkpoint over the scanned body).
-        # remat="dots" keeps every matmul output (in_proj/out_proj/LoRA —
-        # ~55 MB/layer at B=8 L=329 bf16) so the backward recompute only
-        # replays the cheap conv/norm/elementwise ops: ~2/3 of the remat
-        # FLOPs vanish for ~2.6 GB of activations at 1.3B.
-        policy = (
-            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            if remat == "dots"
-            else None
-        )
+        # remat="proj" keeps the in_proj outputs (checkpoint_name'd in
+        # mamba2._project_parts, ~45 MB/layer at B=8 L=329 bf16 = 2.1 GB at
+        # 1.3B) so the backward recompute skips the block's dominant matmul;
+        # remat="dots" keeps EVERY matmul output (OOMs at 1.3B B=8 on one
+        # v5e chip — measured; fine for small models).
+        policy = None
+        if remat == "proj":
+            policy = jax.checkpoint_policies.save_only_these_names("in_proj_out")
+        elif remat == "dots":
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     xs = (params["layers"], dropout_keys) if dropout_keys is not None else params["layers"]

@@ -68,15 +68,19 @@ def generate(
     key: Optional[jax.Array] = None,
     cfg_scale: Optional[float] = None,
     scan_impl: str = "auto",
-    cache_dtype=None,
+    cache_dtype="auto",
     token_callback=None,
 ) -> GenerateOutput:
     """``token_callback(tokens (B,) np.int32)``: host-side streaming hook —
     the analog of the reference's TextStreamer.put (generation.py:256-257),
     delivered through an ordered io_callback from inside the while_loop.
 
-    ``cache_dtype``: carry the SSM state in this dtype during decode
-    (default fp32 — the reference's precision; bf16 halves the dominant HBM
+    ``cache_dtype``: carry the SSM state in this dtype during decode.
+    "auto" picks bf16 once the state's HBM traffic becomes the bottleneck
+    (B >= 16 on v5e: the fp32 state costs B*48*H*P*N*4 bytes r+w per token
+    — the measured B=64 bf16-activation collapse, CLAUDE.md) and keeps the
+    reference's fp32 below that; None forces fp32 always
+    (bf16 halves the dominant HBM
     traffic of batched decode, ~1.5x throughput at B>=16, with greedy streams
     typically unchanged — verify per-model with eval/fidelity.py)."""
     B, L0 = input_ids.shape
@@ -95,6 +99,8 @@ def generate(
         return_cache=True,
         attn_max_len=max_length,  # KV capacity for any attn layers
     )
+    if cache_dtype == "auto":
+        cache_dtype = jnp.bfloat16 if B >= 16 else None
     if cache_dtype is not None and hasattr(cache, "_replace"):
         cache = cache._replace(ssm_state=cache.ssm_state.astype(cache_dtype))
     logits0 = apply_head(params, hidden[:, -1], task)  # (B, V) fp32

@@ -178,7 +178,12 @@ def _project_parts(
             h = xl @ lp[f"{task}_A"][i].astype(x.dtype)  # (..., r)
             for part in _PARTS:
                 out[part] = out[part] + (h @ lp[f"{task}_B_{part}"][i].astype(x.dtype)) * scale
-    return out
+    # named so remat="proj" (train.trainer) can pin exactly these as
+    # checkpoint residuals: the in_proj matmul is ~60% of a block's forward
+    # FLOPs, and skipping its recompute costs only ~45 MB/layer at B=8 bf16
+    from jax.ad_checkpoint import checkpoint_name
+
+    return {k: checkpoint_name(v, "in_proj_out") for k, v in out.items()}
 
 
 def _dt_activation(dt_raw: jax.Array, dt_bias: jax.Array, cfg: Mamba2LayerConfig):

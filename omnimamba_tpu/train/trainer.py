@@ -159,6 +159,73 @@ class MetricsWriter:
         self._fh.close()
 
 
+class TensorBoardWriter:
+    """TensorBoard scalar sink (the reference logs through HF Trainer's
+    report_to, train_stage2.py:19 / README.md:76). Uses the tensorboard
+    package (via torch.utils.tensorboard — CPU-only torch is in the image);
+    becomes a warning + no-op when unavailable."""
+
+    def __init__(self, log_dir: str):
+        self._w = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._w = SummaryWriter(log_dir=log_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"[metrics] tensorboard unavailable ({e}); scalars dropped")
+
+    def log(self, step: int, metrics: dict):
+        if self._w is None:
+            return
+        for k, v in metrics.items():
+            try:
+                self._w.add_scalar(k, float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    def close(self):
+        if self._w is not None:
+            self._w.close()
+
+
+class WandbWriter:
+    """wandb sink: active when the wandb package exists AND the env is
+    logged in; otherwise a warning + no-op (zero-egress default here)."""
+
+    def __init__(self, project: str = "omnimamba-tpu", run_name: str = ""):
+        self._wandb = None
+        try:
+            import wandb  # noqa: PLC0415
+
+            wandb.init(project=project, name=run_name or None)
+            self._wandb = wandb
+        except Exception as e:  # noqa: BLE001
+            print(f"[metrics] wandb unavailable ({e}); metrics dropped")
+
+    def log(self, step: int, metrics: dict):
+        if self._wandb is not None:
+            self._wandb.log(dict(metrics), step=step)
+
+    def close(self):
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+class MultiWriter:
+    """Fan a metrics stream out to several sinks."""
+
+    def __init__(self, *writers):
+        self.writers = [w for w in writers if w is not None]
+
+    def log(self, step: int, metrics: dict):
+        for w in self.writers:
+            w.log(step, metrics)
+
+    def close(self):
+        for w in self.writers:
+            w.close()
+
+
 class Trainer:
     """The training loop (max_steps, logging, checkpoint cadence), mirroring
     the reference CLI behaviour (train_stage2.py + HF Trainer loop)."""
@@ -250,25 +317,61 @@ class Trainer:
         return self.state, metrics
 
     def evaluate(self, metric_key_prefix: str = "eval"):
-        """Average t2i loss over the eval loader (a working version of the
-        reference Stage2Trainer.evaluate, trainer.py:134-150, whose
-        accumulator is buggy there)."""
-        from omnimamba_tpu.models.omnimamba import t2i_loss
+        """Average per-task losses over the eval loader (a working version of
+        the reference Stage2Trainer.evaluate, trainer.py:134-150, whose
+        accumulator is buggy there — and which never covered the mmu flow).
+
+        Eval batches may be bare t2i dicts ({"inputs", "caption_ids"}), or
+        flow-keyed dicts carrying "t2i_flow" and/or "mmu_flow" (the training
+        batch schema); each present flow contributes its own averaged loss.
+        """
+        from omnimamba_tpu.models.omnimamba import mmu_loss, t2i_loss
 
         assert self.eval_loader is not None, "no eval loader configured"
-        loss_fn = jax.jit(
+        t2i_fn = jax.jit(
             lambda p, img, cap: t2i_loss(p, self.model, img, cap, dtype=self.dtype)
         )
-        total, n = 0.0, 0
-        for batch in self.eval_loader:
-            loss = loss_fn(
-                self.state.params,
-                jnp.asarray(batch["inputs"]),
-                jnp.asarray(batch["caption_ids"]),
+        mmu_fn = jax.jit(
+            lambda p, px, ids, lbl, mm: mmu_loss(
+                p, self.model, px, ids, lbl, mm, dtype=self.dtype
             )
-            total += float(loss)
-            n += 1
-        metrics = {f"{metric_key_prefix}_loss": total / max(n, 1)}
+        )
+        totals = {"t2i": 0.0, "mmu": 0.0}
+        counts = {"t2i": 0, "mmu": 0}
+        for batch in self.eval_loader:
+            t2i = batch.get("t2i_flow", batch if "inputs" in batch else None)
+            if t2i is not None:
+                totals["t2i"] += float(
+                    t2i_fn(
+                        self.state.params,
+                        jnp.asarray(t2i["inputs"]),
+                        jnp.asarray(t2i["caption_ids"]),
+                    )
+                )
+                counts["t2i"] += 1
+            mmu = batch.get("mmu_flow")
+            if mmu is not None:
+                totals["mmu"] += float(
+                    mmu_fn(
+                        self.state.params,
+                        jax.tree.map(jnp.asarray, mmu["pixel_values"]),
+                        jnp.asarray(mmu["input_ids"]),
+                        jnp.asarray(mmu["labels"]),
+                        jnp.asarray(mmu["multimodal_mask"]),
+                    )
+                )
+                counts["mmu"] += 1
+        metrics = {}
+        for task in ("t2i", "mmu"):
+            if counts[task]:
+                metrics[f"{metric_key_prefix}_{task}_loss"] = (
+                    totals[task] / counts[task]
+                )
+        if counts["t2i"] and not counts["mmu"]:
+            # back-compat key for t2i-only eval loaders
+            metrics[f"{metric_key_prefix}_loss"] = metrics[
+                f"{metric_key_prefix}_t2i_loss"
+            ]
         self.log_fn(str(metrics))
         if self.metrics_writer is not None:
             self.metrics_writer.log(int(self.state.step), metrics)

@@ -29,6 +29,10 @@ def main():
     )
     parser.add_argument("--platform", type=str, default=None,
                         help="force jax platform (e.g. cpu for smoke runs)")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="also write TensorBoard scalars to <run>/tb")
+    parser.add_argument("--wandb", action="store_true",
+                        help="also log to wandb when available (no-op offline)")
     args = parser.parse_args()
 
     import jax
@@ -150,6 +154,17 @@ def main():
 
     ckpt = CheckpointManager(os.path.join(out_dir, "ckpts"), cfg.save_total_limit)
     metrics = MetricsWriter(os.path.join(out_dir, "metrics.jsonl"))
+    if args.tensorboard or args.wandb:
+        from omnimamba_tpu.train.trainer import (
+            MultiWriter, TensorBoardWriter, WandbWriter,
+        )
+
+        sinks = [metrics]
+        if args.tensorboard:
+            sinks.append(TensorBoardWriter(os.path.join(out_dir, "tb")))
+        if args.wandb:
+            sinks.append(WandbWriter(run_name=os.path.basename(out_dir)))
+        metrics = MultiWriter(*sinks)
     trainer = Trainer(
         model, params, cfg, PreprocLoader(combined),
         mesh=mesh, checkpoint_manager=ckpt, metrics_writer=metrics,
