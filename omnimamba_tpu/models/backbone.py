@@ -335,6 +335,63 @@ def _het_step(params, h, residual, caches, task, cfg, dtype):
     return final, new_caches
 
 
+def _decode_embed(params, token_ids, pos, task, cfg, dtype):
+    """Per-task next-token embedding + positional gather
+    (ids-in branch, mixer_seq_simple.py:387-402)."""
+    if task == "t2i":
+        h = embed_image_tokens(params, token_ids, dtype)
+        pe = jax.lax.dynamic_index_in_dim(
+            params["pos_embed"][0], pos, axis=0, keepdims=False
+        )
+        return h + pe.astype(dtype)[None]
+    if task == "mmu":
+        h = embed_text(params, token_ids, dtype)
+        pe = jax.lax.dynamic_index_in_dim(
+            params["mmu_pos_embed"][0],
+            jnp.minimum(pos, cfg.mmu_pos_len - 1),
+            axis=0,
+            keepdims=False,
+        )
+        return h + pe.astype(dtype)[None]
+    raise ValueError(task)
+
+
+def backbone_step_fused(
+    params: Dict,
+    token_ids: jax.Array,  # (B,)
+    pos: jax.Array,
+    cache,  # ops.decode_fused.FusedDecodeCache
+    task: str,
+    cfg: MambaConfig,
+    *,
+    dtype=jnp.bfloat16,
+    head_tile: int = 16,
+):
+    """backbone_step via the whole-model fused Pallas decode kernel
+    (ops/decode_fused.py — replaces the lax.scan step; same semantics,
+    no per-layer weight-slab copies). Homogeneous Mamba2 stacks only."""
+    from omnimamba_tpu.ops.decode_fused import fused_decode_step
+
+    h = _decode_embed(params, token_ids, pos, task, cfg, dtype)
+    residual = jnp.zeros_like(h, dtype=jnp.float32)
+    layers = params["layers"]
+    lora = layers["mixer"].get("lora")
+    if lora is not None and task is not None:
+        lora_A = lora[f"{task}_A"]
+        lora_B = {p: lora[f"{task}_B_{p}"] for p in ("z", "x", "bc", "dt")}
+        scale = cfg.lora.scaling
+    else:
+        lora_A, lora_B, scale = None, None, 0.0
+    h, residual, new_cache = fused_decode_step(
+        layers, h, residual, cache, lora_A, lora_B, scale,
+        head_tile=head_tile, norm_eps=cfg.norm_eps, gn_eps=cfg.mixer.norm_eps,
+    )
+    final = rms_norm(
+        (h.astype(jnp.float32) + residual), params["norm_f"]["weight"], cfg.norm_eps
+    ).astype(dtype)
+    return final, new_cache
+
+
 def backbone_step(
     params: Dict,
     token_ids: jax.Array,  # (B,) next-token ids
@@ -347,23 +404,7 @@ def backbone_step(
 ) -> Tuple[jax.Array, BackboneCache]:
     """One decode token through all layers (ids-in branch,
     mixer_seq_simple.py:387-402): per-task embedding + positional gather."""
-    if task == "t2i":
-        h = embed_image_tokens(params, token_ids, dtype)
-        pe = jax.lax.dynamic_index_in_dim(
-            params["pos_embed"][0], pos, axis=0, keepdims=False
-        )
-        h = h + pe.astype(dtype)[None]
-    elif task == "mmu":
-        h = embed_text(params, token_ids, dtype)
-        pe = jax.lax.dynamic_index_in_dim(
-            params["mmu_pos_embed"][0],
-            jnp.minimum(pos, cfg.mmu_pos_len - 1),
-            axis=0,
-            keepdims=False,
-        )
-        h = h + pe.astype(dtype)[None]
-    else:
-        raise ValueError(task)
+    h = _decode_embed(params, token_ids, pos, task, cfg, dtype)
 
     residual = jnp.zeros_like(h, dtype=jnp.float32)
 

@@ -36,6 +36,7 @@ from omnimamba_tpu.models.backbone import (
     apply_head,
     backbone_forward,
     backbone_step,
+    backbone_step_fused,
 )
 from omnimamba_tpu.ops.sampling import SampleParams, sample_token
 
@@ -69,6 +70,7 @@ def generate(
     cfg_scale: Optional[float] = None,
     scan_impl: str = "auto",
     cache_dtype="auto",
+    decode_impl: str = "auto",  # auto | fused | scan
     token_callback=None,
 ) -> GenerateOutput:
     """``token_callback(tokens (B,) np.int32)``: host-side streaming hook —
@@ -103,6 +105,18 @@ def generate(
         cache_dtype = jnp.bfloat16 if B >= 16 else None
     if cache_dtype is not None and hasattr(cache, "_replace"):
         cache = cache._replace(ssm_state=cache.ssm_state.astype(cache_dtype))
+
+    # whole-model fused Pallas decode step (ops/decode_fused.py): streams
+    # per-layer weight slabs into VMEM instead of dynamic-slice-copying them
+    # every token. Currently OPT-IN: measured at 1.3B B=64 the kernel is
+    # serialization-bound at ~46 ms/step vs the scan path's 24 ms (int8 ==
+    # bf16 — not bandwidth-limited), so "auto" keeps the scan path until the
+    # kernel's pipelining wins.
+    use_fused = decode_impl == "fused"
+    if use_fused:
+        from omnimamba_tpu.ops.decode_fused import to_fused_cache
+
+        cache = to_fused_cache(cache, cfg.mixer.d_inner)
     logits0 = apply_head(params, hidden[:, -1], task)  # (B, V) fp32
 
     def _combine_cfg(logits):
@@ -142,9 +156,16 @@ def generate(
             jnp.all(tok == eos_token_id) if eos_token_id is not None else jnp.bool_(False)
         )
         # next logits (position id = L0 + n, generation.py:186-191)
-        hidden, new_cache = backbone_step(
-            params, tok, L0 + s.n, s.cache, task, cfg, dtype=input_embeddings.dtype
-        )
+        if use_fused:
+            hidden, new_cache = backbone_step_fused(
+                params, tok, L0 + s.n, s.cache, task, cfg,
+                dtype=input_embeddings.dtype,
+            )
+        else:
+            hidden, new_cache = backbone_step(
+                params, tok, L0 + s.n, s.cache, task, cfg,
+                dtype=input_embeddings.dtype,
+            )
         logits = _combine_cfg(apply_head(params, hidden, task))
         return _LoopState(
             n=s.n + 1,

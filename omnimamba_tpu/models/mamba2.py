@@ -253,11 +253,18 @@ def mamba2_forward(
             xh, dt, A, Bh, Ch, params["D"], chunk_size=max(cfg.chunk_size, q)
         )
     elif scan_impl == "pallas_ad":
-        # differentiable fused kernel (custom VJP): training-capable Pallas
+        # differentiable fused kernel (custom VJP): training-capable Pallas.
+        # Chunking is math-invariant, so pick the chunk that minimizes pad
+        # waste (ties -> larger): the t2i length 329 pads to 512 at Q=256
+        # (56% wasted kernel tokens) but only 384 at Q=128.
+        q = min(
+            (Q for Q in (128, cfg.chunk_size) if Q <= cfg.chunk_size),
+            key=lambda Q: (-(-L // Q) * Q, -Q),
+        )
         from omnimamba_tpu.ops.ssd_pallas_bwd import ssd_pallas_ad
 
         y, final_state = ssd_pallas_ad(
-            xh, dt, A, Bh, Ch, params["D"], cfg.chunk_size, None, None
+            xh, dt, A, Bh, Ch, params["D"], q, None, None
         )
     else:
         raise ValueError(f"unknown scan_impl {scan_impl}")

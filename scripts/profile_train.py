@@ -180,9 +180,62 @@ def bench_ssd(args):
         print(f"trace written to {args.trace}", file=sys.stderr)
 
 
+def bench_decode(args):
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from omnimamba_tpu.config import MambaConfig
+    from omnimamba_tpu.models.backbone import embed_text, init_backbone
+    from omnimamba_tpu.models.generation import generate
+    from omnimamba_tpu.ops.sampling import SampleParams
+
+    cfg = MambaConfig()
+    t0 = time.time()
+    params = init_backbone(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if args.int8:
+        from omnimamba_tpu.ops.quant import quantize_decode_params
+
+        params = quantize_decode_params(params)
+    print(f"init in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    B = args.batch
+    T = args.tokens
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 8)), jnp.int32)
+
+    def run(p, ids):
+        emb = embed_text(p, ids, jnp.bfloat16)
+        out = generate(
+            p, cfg, input_ids=ids, input_embeddings=emb, task="mmu",
+            max_length=8 + T, sample=SampleParams(top_k=1),
+        )
+        return out.sequences
+
+    f = jax.jit(run)
+    t0 = time.time()
+    seq = f(params, ids)
+    sync(seq)
+    print(f"compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    for _ in range(args.iters):
+        seq = f(params, ids)
+    sync(seq)
+    dt = (time.time() - t0) / args.iters
+    print(
+        f"DECODE B={B} {'int8' if args.int8 else 'bf16'}: "
+        f"{B*T/dt:.0f} tok/s  ({dt/T*1e3:.2f} ms/step)"
+    )
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        seq = f(params, ids)
+        sync(seq)
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.trace}", file=sys.stderr)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["step", "ssd"])
+    p.add_argument("mode", choices=["step", "ssd", "decode"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--seqlen", type=int, default=1280)
     p.add_argument("--iters", type=int, default=5)
@@ -191,10 +244,14 @@ def main():
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--remat-policy", default=None, help="e.g. 'dots'")
     p.add_argument("--chunk", type=int, default=0)
+    p.add_argument("--tokens", type=int, default=64)
+    p.add_argument("--int8", action="store_true")
     p.add_argument("--trace", default=None)
     args = p.parse_args()
     if args.mode == "step":
         bench_step(args)
+    elif args.mode == "decode":
+        bench_decode(args)
     else:
         bench_ssd(args)
 
