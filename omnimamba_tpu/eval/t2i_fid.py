@@ -114,6 +114,34 @@ def vq_encoder_features(params, vq_cfg) -> Callable[[np.ndarray], np.ndarray]:
     return fn
 
 
+def default_features(
+    params, vq_cfg, inception_weights: str = ""
+) -> Callable[[np.ndarray], np.ndarray]:
+    """Standard-FID feature selector.
+
+    Uses InceptionV3 pool3 (eval/inception.py) whenever weights are given
+    (``inception_weights`` arg or $OMNIMAMBA_INCEPTION_WEIGHTS) — the ONLY
+    features comparable with published MS-COCO FID (reference teaser 5.5).
+    Falls back to the frozen VQ-encoder proxy otherwise (zero-egress
+    default) with a loud warning: that is a relative metric only.
+    """
+    import os as _os
+
+    path = inception_weights or _os.environ.get("OMNIMAMBA_INCEPTION_WEIGHTS", "")
+    if path and _os.path.exists(path):
+        from omnimamba_tpu.eval.inception import inception_features
+
+        return inception_features(path)
+    import logging
+
+    logging.getLogger("omnimamba").warning(
+        "FID falling back to VQ-encoder features: RELATIVE metric only, NOT "
+        "comparable to InceptionV3-based MS-COCO FID (set "
+        "OMNIMAMBA_INCEPTION_WEIGHTS=<inception_v3 .pth/.npz> for standard FID)"
+    )
+    return vq_encoder_features(params, vq_cfg)
+
+
 def compute_fid(
     images_a: np.ndarray,
     images_b: np.ndarray,

@@ -1,0 +1,71 @@
+"""InceptionV3 pool3 extractor: structure, converter, and FID plumbing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from omnimamba_tpu.eval.inception import (
+    convert_torch_inception,
+    inception_pool3,
+    preprocess_uint8,
+    random_params,
+)
+
+
+def test_pool3_shape_and_finite():
+    params = random_params(jax.random.PRNGKey(0))
+    imgs = np.random.default_rng(0).integers(0, 255, (2, 64, 48, 3), np.uint8)
+    x = preprocess_uint8(imgs)
+    assert x.shape == (2, 299, 299, 3)
+    assert float(x.max()) <= 1.0 and float(x.min()) >= -1.0
+    feats = inception_pool3(params, x)
+    assert feats.shape == (2, 2048)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_converter_folds_bn():
+    """convert_torch_inception: OIHW->HWIO + BN fold, checked numerically
+    against an explicit conv+BN on a single BasicConv2d."""
+    rng = np.random.default_rng(1)
+    cin, cout, k = 3, 4, 3
+    state = {
+        "Conv2d_1a_3x3.conv.weight": rng.standard_normal((cout, cin, k, k)).astype(np.float32),
+        "Conv2d_1a_3x3.bn.weight": rng.uniform(0.5, 1.5, cout).astype(np.float32),
+        "Conv2d_1a_3x3.bn.bias": rng.standard_normal(cout).astype(np.float32),
+        "Conv2d_1a_3x3.bn.running_mean": rng.standard_normal(cout).astype(np.float32),
+        "Conv2d_1a_3x3.bn.running_var": rng.uniform(0.5, 2.0, cout).astype(np.float32),
+    }
+    p = convert_torch_inception(state)["Conv2d_1a_3x3"]
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, cin)), jnp.float32)
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["b"]
+    # explicit reference: conv (no bias) then inference BN
+    w_oihw = state["Conv2d_1a_3x3.conv.weight"]
+    yref = jax.lax.conv_general_dilated(
+        x, jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0))), (1, 1),
+        ((0, 0), (0, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    g, b = state["Conv2d_1a_3x3.bn.weight"], state["Conv2d_1a_3x3.bn.bias"]
+    m, v = state["Conv2d_1a_3x3.bn.running_mean"], state["Conv2d_1a_3x3.bn.running_var"]
+    yref = (yref - m) / np.sqrt(v + 1e-3) * g + b
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yref), rtol=1e-4, atol=1e-4)
+
+
+def test_default_features_warns_and_falls_back(caplog):
+    from omnimamba_tpu.config import VQConfig
+    from omnimamba_tpu.eval.t2i_fid import default_features
+    from omnimamba_tpu.models.vq import init_vq
+
+    cfg = VQConfig(ch=8, encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2),
+                   num_res_blocks=1, z_channels=4,
+                   codebook_size=16, codebook_embed_dim=4)
+    params = init_vq(jax.random.PRNGKey(0), cfg)
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="omnimamba"):
+        fn = default_features(params, cfg)
+    assert any("NOT" in r.message for r in caplog.records)
+    imgs = np.random.default_rng(0).integers(0, 255, (2, 32, 32, 3), np.uint8)
+    assert fn(imgs).shape[0] == 2
