@@ -191,6 +191,17 @@ def load_text_tokenizer(
 
             if os.environ.get("HF_HUB_OFFLINE") == "1":
                 raise
+            # zero-egress guard: a dead DNS resolve otherwise costs minutes
+            # of hub retries before the offline fallback kicks in
+            import socket
+
+            socket.setdefaulttimeout(2)
+            try:
+                socket.getaddrinfo("huggingface.co", 443)
+            except OSError:
+                raise RuntimeError("no network: skipping hub download")
+            finally:
+                socket.setdefaulttimeout(None)
             return AutoTokenizer.from_pretrained(name, model_max_length=model_max_length)
     except Exception:
         if not offline_ok:

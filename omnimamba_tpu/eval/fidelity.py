@@ -66,6 +66,115 @@ def compare_streams(a: np.ndarray, b: np.ndarray) -> StreamDiff:
     )
 
 
+class FidelityPack(NamedTuple):
+    """Recorded reference outputs, pre-staged so weight-level fidelity can
+    be verified the moment real checkpoints (or a machine with the torch
+    reference installed) become available — no network needed then.
+
+    Contents per probe: prompt ids, the producer's greedy stream, and its
+    fp32 logits over the first ``k_logits`` generated positions (argmax
+    margins localize any divergence to a layer of numerics rather than a
+    vague "streams differ")."""
+
+    task: str
+    prompt_ids: np.ndarray  # (B, L0)
+    stream: np.ndarray  # (B, T) greedy sequence incl. prompt
+    logits: np.ndarray  # (B, K, V) fp32, first K generated positions
+    meta: Dict
+
+
+def record_pack(
+    params: Dict,
+    cfg: MambaConfig,
+    input_ids: jax.Array,
+    input_embeddings: jax.Array,
+    task: str,
+    max_length: int,
+    *,
+    k_logits: int = 8,
+    scan_impl: str = "chunked",
+    meta: Dict | None = None,
+) -> FidelityPack:
+    """Record a pack from THIS implementation (cross-round regression /
+    cross-impl diffing). For packs from the torch reference, write the same
+    npz schema from its side (scripts/record_reference_pack.py documents
+    the field names)."""
+    stream = greedy_stream(
+        params, cfg, input_ids, input_embeddings, task, max_length,
+        scan_impl=scan_impl,
+    )
+    L0 = input_ids.shape[1]
+    hidden, cache = backbone_forward(
+        params, input_embeddings, task, cfg,
+        scan_impl=scan_impl, return_cache=True,
+    )
+    logits = [np.asarray(apply_head(params, hidden[:, -1], task), np.float32)]
+    for t in range(L0, min(L0 + k_logits - 1, stream.shape[1] - 1)):
+        hidden, cache = backbone_step(
+            params, jnp.asarray(stream[:, t]), jnp.int32(t), cache, task, cfg,
+            dtype=input_embeddings.dtype,
+        )
+        logits.append(np.asarray(apply_head(params, hidden, task), np.float32))
+    return FidelityPack(
+        task=task,
+        prompt_ids=np.asarray(input_ids),
+        stream=stream,
+        logits=np.stack(logits, axis=1),
+        meta=meta or {},
+    )
+
+
+def save_pack(path: str, pack: FidelityPack) -> None:
+    import json
+
+    np.savez(
+        path,
+        task=np.asarray(pack.task),
+        prompt_ids=pack.prompt_ids,
+        stream=pack.stream,
+        logits=pack.logits,
+        meta=np.asarray(json.dumps(pack.meta)),
+    )
+
+
+def load_pack(path: str) -> FidelityPack:
+    import json
+
+    z = np.load(path)
+    return FidelityPack(
+        task=str(z["task"]),
+        prompt_ids=z["prompt_ids"],
+        stream=z["stream"],
+        logits=z["logits"],
+        meta=json.loads(str(z["meta"])),
+    )
+
+
+def compare_to_pack(
+    params: Dict,
+    cfg: MambaConfig,
+    pack: FidelityPack,
+    input_embeddings: jax.Array,
+    *,
+    scan_impl: str = "chunked",
+) -> Dict:
+    """Replay the pack's prompt through THIS model; report stream diff and
+    per-position max |logit delta| over the recorded window."""
+    ours = record_pack(
+        params, cfg, jnp.asarray(pack.prompt_ids), input_embeddings,
+        pack.task, pack.stream.shape[1],
+        k_logits=pack.logits.shape[1], scan_impl=scan_impl,
+    )
+    diff = compare_streams(ours.stream, pack.stream)
+    k = min(ours.logits.shape[1], pack.logits.shape[1])
+    dl = np.abs(ours.logits[:, :k] - pack.logits[:, :k]).max(axis=-1)
+    return {
+        "stream": diff,
+        "max_logit_delta": dl,  # (B, K)
+        "logits_close": bool((dl < 1e-3).all()),
+    }
+
+
 def logit_margin_report(
     params: Dict,
     cfg: MambaConfig,

@@ -79,6 +79,24 @@ def make_train_step(
 
     def loss_fn(params, batch, key):
         params = _freeze(params)
+        # resolve remat="proj" against the traced batch size: the saved
+        # in_proj residuals cost ~0.8 MB/token at 1.3B bf16 (8512*2 B x 48
+        # layers); beyond ~3.5k tokens/device they blow the 16 GB HBM
+        # (B=16 t2i measured 2.3 G over), so fall back to full remat there
+        remat = cfg.remat
+        if remat == "proj":
+            toks = 0
+            if "t2i_flow" in batch:
+                b, nc = batch["t2i_flow"]["caption_ids"].shape
+                toks += b * (nc + batch["t2i_flow"]["inputs"].shape[1])
+            if "mmu_flow" in batch:
+                toks += (
+                    batch["mmu_flow"]["input_ids"].shape[0]
+                    * batch["mmu_flow"]["input_ids"].shape[1]
+                )
+            n_dev = mesh.size if mesh is not None else 1
+            if toks / n_dev > 3500:
+                remat = True
         k1, k2 = jax.random.split(key)
         loss_t2i = jnp.float32(0.0)
         loss_mmu = jnp.float32(0.0)
@@ -91,7 +109,7 @@ def make_train_step(
                 dtype=dtype,
                 dropout_key=k1,
                 scan_impl=scan_impl,
-                remat=cfg.remat,
+                remat=remat,
             )
         if cfg.mmu_task and "mmu_flow" in batch:
             mmu = batch["mmu_flow"]
@@ -105,7 +123,7 @@ def make_train_step(
                 dtype=dtype,
                 dropout_key=k2,
                 scan_impl=scan_impl,
-                remat=cfg.remat,
+                remat=remat,
             )
         loss = loss_t2i + loss_mmu  # summed (trainer.py:121)
         return loss, {"loss_t2i": loss_t2i, "loss_mmu": loss_mmu}

@@ -15,7 +15,12 @@ sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--manifest", required=True)
+    parser.add_argument("--manifest", default=None)
+    parser.add_argument(
+        "--synthetic", type=int, default=0,
+        help="self-generate N synthetic manifest rows + images (no datasets "
+        "needed; exercises the full pipeline end-to-end)",
+    )
     parser.add_argument("--protocol", required=True, choices=["pope", "gqa", "vqav2", "mme"])
     parser.add_argument("--image-root", default=".")
     parser.add_argument("--config", default="config/config_stage2.yaml")
@@ -42,6 +47,30 @@ def main():
         score_manifest,
     )
     from omnimamba_tpu.factory import build_model
+
+    if args.synthetic and not args.manifest:
+        import numpy as np
+        from PIL import Image
+
+        root = "/tmp/omnimamba_synth_eval"
+        os.makedirs(root, exist_ok=True)
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(args.synthetic):
+            img = rng.integers(0, 255, (480, 640, 3), np.uint8)
+            p = os.path.join(root, f"img_{i:04d}.png")
+            Image.fromarray(img).save(p)
+            rows.append({
+                "image": p,
+                "question": f"Is there a cat in the image? (sample {i})",
+                "answer": "yes" if i % 2 == 0 else "no",
+            })
+        args.manifest = os.path.join(root, "manifest.jsonl")
+        with open(args.manifest, "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in rows)
+        args.image_root = root
+        print(f"[synthetic] {args.synthetic} rows at {args.manifest}")
+    assert args.manifest, "--manifest or --synthetic required"
 
     cfg = TrainConfig.from_yaml(args.config) if os.path.exists(args.config) else TrainConfig()
     if args.ckpt:

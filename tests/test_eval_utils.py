@@ -68,3 +68,36 @@ def test_overwatch_and_timer(capsys):
     with Timer("t") as t:
         hard_sync(jnp.ones(4) * 2)
     assert t.elapsed >= 0
+
+
+def test_fidelity_pack_roundtrip_and_divergence(tmp_path):
+    """record_pack -> save -> load -> compare: identical params match;
+    perturbed params are flagged with a localized first divergence."""
+    import jax
+    import jax.numpy as jnp
+
+    from omnimamba_tpu.eval.fidelity import (
+        compare_to_pack, load_pack, record_pack, save_pack,
+    )
+    from omnimamba_tpu.models.backbone import embed_text, init_backbone
+    from tests.test_backbone import tiny_config
+
+    cfg = tiny_config()
+    params = init_backbone(jax.random.PRNGKey(11), cfg)
+    ids = jnp.arange(5, dtype=jnp.int32)[None]
+    emb = embed_text(params, ids, jnp.float32)
+    pack = record_pack(params, cfg, ids, emb, "mmu", 15, k_logits=4,
+                       meta={"who": "self"})
+    p = str(tmp_path / "pack.npz")
+    save_pack(p, pack)
+    loaded = load_pack(p)
+    assert loaded.task == "mmu" and loaded.meta["who"] == "self"
+
+    rep = compare_to_pack(params, cfg, loaded, emb)
+    assert rep["stream"].match and rep["logits_close"]
+
+    bad = dict(params)
+    bad["embedding"] = params["embedding"] + 0.05
+    bad_emb = embed_text(bad, ids, jnp.float32)
+    rep2 = compare_to_pack(bad, cfg, loaded, bad_emb)
+    assert not rep2["logits_close"]
