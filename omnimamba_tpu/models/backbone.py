@@ -199,6 +199,8 @@ def backbone_forward(
     dropout_key: Optional[jax.Array] = None,
     remat: bool = False,
     attn_max_len: Optional[int] = None,
+    initial_cache: Optional[BackboneCache] = None,
+    valid_len: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[BackboneCache]]:
     """Full-sequence forward over all layers -> final-normed hidden states.
 
@@ -207,6 +209,11 @@ def backbone_forward(
     t2i positions were already added by the caller. A heterogeneous layer
     list (attn_layer_idx) takes the Python-loop path; the homogeneous stack
     runs under lax.scan.
+
+    ``initial_cache``/``valid_len``: continuation prefill — run a whole
+    token window from an existing decode state in ONE weight read (see
+    mamba2.mamba2_forward). Homogeneous Mamba2 stacks only. Callers embed
+    positions themselves (pass add_mmu_pos=False for mmu windows).
     """
     B, L, d = embeddings.shape
     h = embeddings
@@ -231,6 +238,9 @@ def backbone_forward(
     residual = jnp.zeros_like(h, dtype=jnp.float32)
 
     if isinstance(params["layers"], (list, tuple)):
+        assert initial_cache is None and valid_len is None, (
+            "continuation prefill supports homogeneous Mamba2 stacks only"
+        )
         return _het_forward(
             params, h, residual, task, cfg,
             scan_impl=scan_impl, return_cache=return_cache,
@@ -243,14 +253,19 @@ def backbone_forward(
     else:
         dropout_keys = None
 
+    xs_in = {"layer": params["layers"]}
+    if dropout_keys is not None:
+        xs_in["dkey"] = dropout_keys
+    if initial_cache is not None:
+        xs_in["icache"] = Mamba2Cache(
+            conv_state=initial_cache.conv_state,
+            ssm_state=initial_cache.ssm_state,
+        )
+
     def body(carry, xs):
         h, residual = carry
-        if dropout_keys is not None:
-            layer_params, dkey = xs
-        else:
-            layer_params, dkey = xs, None
         out, new_residual, cache = block_forward(
-            layer_params,
+            xs["layer"],
             h,
             residual,
             task,
@@ -259,7 +274,9 @@ def backbone_forward(
             norm_eps=cfg.norm_eps,
             scan_impl=scan_impl,
             return_cache=return_cache,
-            dropout_key=dkey,
+            dropout_key=xs.get("dkey"),
+            initial_cache=xs.get("icache"),
+            valid_len=valid_len,
         )
         emit = cache if return_cache else None
         return (out, new_residual), emit
@@ -279,8 +296,7 @@ def backbone_forward(
             policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
-    xs = (params["layers"], dropout_keys) if dropout_keys is not None else params["layers"]
-    (h, residual), caches = jax.lax.scan(body, (h, residual), xs)
+    (h, residual), caches = jax.lax.scan(body, (h, residual), xs_in)
 
     final = rms_norm(
         (h.astype(jnp.float32) + residual), params["norm_f"]["weight"], cfg.norm_eps
@@ -356,6 +372,28 @@ def _decode_embed(params, token_ids, pos, task, cfg, dtype):
     raise ValueError(task)
 
 
+def embed_decode_window(
+    params: Dict,
+    token_ids: jax.Array,  # (B, K)
+    pos0: jax.Array,  # scalar int32: absolute position of token_ids[:, 0]
+    task: str,
+    cfg: MambaConfig,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Decode-style embeddings for a K-token window at positions
+    pos0..pos0+K-1 (the batched form of _decode_embed) — feed to
+    backbone_forward(..., add_mmu_pos=False, initial_cache=...) for a
+    continuation prefill (e.g. the speculative-decode verify pass)."""
+    K = token_ids.shape[1]
+    pos = jnp.asarray(pos0, jnp.int32) + jnp.arange(K, dtype=jnp.int32)
+    emb = jax.vmap(
+        lambda ids, p: _decode_embed(params, ids, p, task, cfg, dtype),
+        in_axes=(1, 0),
+        out_axes=1,
+    )(token_ids, pos)
+    return emb
+
+
 def backbone_step_fused(
     params: Dict,
     token_ids: jax.Array,  # (B,)
@@ -426,8 +464,17 @@ def backbone_step(
         )
         return (out, new_residual), new_cache
 
+    # unroll>1 trades compile time for removing the per-iteration dynamic
+    # weight-slab slice from the decode hot loop (experiment knob; XLA can
+    # fold statically-indexed slices into the consuming matmuls)
+    import os
+
+    unroll = int(os.environ.get("OMNIMAMBA_DECODE_UNROLL", "1"))
     (h, residual), new_caches = jax.lax.scan(
-        body, (h, residual), (params["layers"], cache.conv_state, cache.ssm_state)
+        body,
+        (h, residual),
+        (params["layers"], cache.conv_state, cache.ssm_state),
+        unroll=unroll,
     )
     final = rms_norm(
         (h.astype(jnp.float32) + residual), params["norm_f"]["weight"], cfg.norm_eps

@@ -60,8 +60,13 @@ def block_forward(
     attn_num_heads: int = 16,
     attn_rotary_dim: int = 0,
     attn_max_len: Optional[int] = None,
+    initial_cache: Optional[BlockCache] = None,
+    valid_len=None,
 ) -> Tuple[jax.Array, jax.Array, Optional[BlockCache]]:
-    """One block, full-sequence (reference block.py:71-117 fused path)."""
+    """One block, full-sequence (reference block.py:71-117 fused path).
+
+    ``initial_cache``/``valid_len``: continuation prefill from an existing
+    decode state (mamba2.mamba2_forward docstring; mamba2 layers only)."""
     normed, new_residual = add_norm(
         hidden,
         residual,
@@ -81,6 +86,8 @@ def block_forward(
             scan_impl=scan_impl,
             return_cache=return_cache,
             dropout_key=dropout_key,
+            initial_cache=initial_cache,
+            valid_len=valid_len,
         )
     elif layer_type == "mha":
         out, cache = mha_forward(

@@ -209,12 +209,28 @@ def mamba2_forward(
     scan_impl: str = "chunked",  # chunked | reference | pallas
     return_cache: bool = False,
     dropout_key: Optional[jax.Array] = None,
+    initial_cache: Optional[Mamba2Cache] = None,
+    valid_len: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Mamba2Cache]]:
     """Full-sequence forward (train / prefill).
 
     With ``return_cache=True`` also returns the final (conv, ssm) state so a
     decode loop can continue — the prefill path of generation
     (reference generation.py:241: prefill then 1-token steps).
+
+    ``initial_cache`` continues from an existing decode state (the conv
+    window becomes left context, the SSM scan starts from its state): a
+    multi-token prefill *continuation* — one weight read for the whole
+    window instead of one per token. The reference has no analog (its
+    prefill always starts cold); this enables chunked prefill, prefix-cache
+    serving, and the speculative-decode verify pass.
+
+    ``valid_len`` (dynamic scalar) marks positions >= valid_len as padding:
+    their dt is zeroed, making them EXACT no-ops for the SSM state (decay
+    e^{0 A}=1, update dt*x*B=0), and the returned cache's conv window takes
+    the last W-1 *real* inputs. Outputs at padded positions are garbage —
+    callers mask. This lets a fixed-shape jitted program consume a
+    variable-length window (the speculative verify loop).
     """
     B, L, _ = x.shape
     H, P, G, N = cfg.nheads, cfg.headdim, cfg.ngroups, cfg.d_state
@@ -222,26 +238,51 @@ def mamba2_forward(
     parts = _project_parts(params, x, task, cfg, lora_cfg, dropout_key)
     z = parts["z"]
     conv = params["conv"]
-    xs = causal_conv1d(parts["x"], conv["weight_x"], conv["bias_x"])
-    bc = causal_conv1d(parts["bc"], conv["weight_bc"], conv["bias_bc"])
+    halo_x = halo_bc = None
+    if initial_cache is not None:
+        halo_x = initial_cache.conv_state[..., : cfg.d_inner]
+        halo_bc = initial_cache.conv_state[..., cfg.d_inner :]
+    xs = causal_conv1d(
+        parts["x"], conv["weight_x"], conv["bias_x"], initial_state=halo_x
+    )
+    bc = causal_conv1d(
+        parts["bc"], conv["weight_bc"], conv["bias_bc"], initial_state=halo_bc
+    )
     Bm, Cm = _split_bc(bc, cfg)
     dt = _dt_activation(parts["dt"], params["dt_bias"], cfg)
+    if valid_len is not None:
+        keep = jnp.arange(L)[None, :, None] < valid_len
+        dt = jnp.where(keep, dt, 0.0)
     A = -jnp.exp(params["A_log"].astype(jnp.float32))
 
     xh = xs.reshape(B, L, H, P)
     Bh = Bm.reshape(B, L, G, N)
     Ch = Cm.reshape(B, L, G, N)
 
+    init_state = initial_cache.ssm_state if initial_cache is not None else None
     if scan_impl == "auto":
         # Pallas on TPU (fast compile, fused VMEM pipeline); XLA elsewhere.
         # Training paths pass "chunked" explicitly (differentiable).
         scan_impl = "pallas" if jax.default_backend() == "tpu" else "chunked"
+    if init_state is not None and scan_impl in ("pallas", "pallas_ad"):
+        # the Pallas kernels have no initial-state operand; continuation
+        # windows are short, so the XLA chunked scan is the right tool
+        scan_impl = "chunked"
     if scan_impl == "chunked":
+        q = cfg.chunk_size
+        if init_state is not None and L < q:
+            # continuation windows are tiny (speculative verify: ~2K tokens);
+            # a matched pow-2 chunk avoids padding the quadratic intra-chunk
+            # attn to 256 wide (64x the FLOPs and a far slower XLA compile)
+            q = max(16, 1 << (L - 1).bit_length())
         y, final_state = ssd_chunked(
-            xh, dt, A, Bh, Ch, params["D"], chunk_size=cfg.chunk_size
+            xh, dt, A, Bh, Ch, params["D"], chunk_size=q,
+            initial_state=init_state,
         )
     elif scan_impl == "reference":
-        y, final_state = ssd_scan_reference(xh, dt, A, Bh, Ch, params["D"])
+        y, final_state = ssd_scan_reference(
+            xh, dt, A, Bh, Ch, params["D"], initial_state=init_state
+        )
     elif scan_impl == "pallas":
         from omnimamba_tpu.ops.ssd_pallas import ssd_pallas
 
@@ -276,7 +317,24 @@ def mamba2_forward(
     cache = None
     if return_cache:
         xbc_raw = jnp.concatenate([parts["x"], parts["bc"]], axis=-1)
-        conv_state = conv_state_from_sequence(xbc_raw, cfg.d_conv)
+        if valid_len is None:
+            init_conv = initial_cache.conv_state if initial_cache is not None else None
+            conv_state = conv_state_from_sequence(
+                xbc_raw, cfg.d_conv, initial_state=init_conv
+            )
+        else:
+            # window ending at the last REAL token: full[:, v : v+W-1]
+            W1 = cfg.d_conv - 1
+            if initial_cache is not None:
+                left = initial_cache.conv_state.astype(xbc_raw.dtype)
+            else:
+                left = jnp.zeros(
+                    (B, W1, xbc_raw.shape[-1]), xbc_raw.dtype
+                )
+            full = jnp.concatenate([left, xbc_raw], axis=1)
+            conv_state = jax.lax.dynamic_slice_in_dim(
+                full, jnp.asarray(valid_len, jnp.int32), W1, axis=1
+            )
         cache = Mamba2Cache(conv_state=conv_state, ssm_state=final_state)
     return out, cache
 

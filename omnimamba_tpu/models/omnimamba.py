@@ -316,12 +316,19 @@ def mmu_generate(
     dtype=jnp.bfloat16,
     scan_impl: str = "auto",
     cache_dtype=None,
+    draft_params: Optional[Dict] = None,
+    draft_layers: Optional[int] = None,
+    k_draft: int = 8,
 ) -> GenerateOutput:
     """Visual question answering decode (reference scripts/inference_mmu.py:
     embeds = [2 specials | 729 image | rest of text], then generate(task=mmu)).
 
     ``input_ids`` covers only the text tokens; image feature positions are
     accounted for in the position ids automatically via splicing.
+
+    ``draft_params``/``draft_layers`` switch to speculative greedy decoding
+    (models/speculative.py) for single-stream (B=1, top_k=1) latency — the
+    token stream is identical to the plain path; only speed changes.
     """
     text_emb = embed_text(params["mamba"], input_ids, dtype)
     emb = jnp.concatenate(
@@ -334,6 +341,27 @@ def mmu_generate(
     splice_ids = jnp.zeros((B, emb.shape[1]), jnp.int32)
     splice_ids = splice_ids.at[:, :2].set(input_ids[:, :2])
     splice_ids = splice_ids.at[:, 2 + image_features.shape[1] :].set(input_ids[:, 2:])
+    if draft_params is not None or draft_layers is not None:
+        from omnimamba_tpu.models.speculative import speculative_generate
+
+        assert sample.top_k == 1, "speculative decode is greedy-only"
+        dp = draft_params["mamba"] if (
+            draft_params is not None and "mamba" in draft_params
+        ) else draft_params
+        return speculative_generate(
+            params["mamba"],
+            model.cfg,
+            input_ids=splice_ids,
+            input_embeddings=emb,
+            task="mmu",
+            max_length=max_length,
+            draft_params=dp,
+            draft_layers=draft_layers,
+            k_draft=k_draft,
+            eos_token_id=eos_token_id,
+            scan_impl=scan_impl,
+            cache_dtype=cache_dtype,
+        )
     return generate(
         params["mamba"],
         model.cfg,

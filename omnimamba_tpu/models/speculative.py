@@ -1,0 +1,337 @@
+"""Speculative greedy decoding for single-stream latency (B=1).
+
+Plain decode reads every weight once per token — the ~3.5 ms/token HBM
+floor at 1.3B bf16 caps single-stream throughput near 286 tok/s. A cheap
+DRAFT proposes K tokens sequentially; the full TARGET then scores the whole
+window in ONE weight read (a continuation prefill,
+``backbone_forward(initial_cache=...)``), accepting the longest
+draft prefix whose tokens match the target's own greedy choices, plus one
+correction/bonus token from the target's logits. Output is therefore
+token-for-token IDENTICAL to plain greedy decoding — draft quality affects
+only speed, never results.
+
+State bookkeeping exploits a Mamba-specific trick instead of the usual
+per-position cache rollback: the verify pass masks padded positions to
+``dt = 0``, which makes them exact SSM no-ops, so one fixed-shape compiled
+program consumes any 1..W real tokens. The target cache only ever advances
+when a verify window was FULLY accepted (then its final state is exact);
+on a partial accept the cache stays put and the next round's window simply
+re-consumes the committed-but-unconsumed tokens (they auto-match — they
+*are* the target's own choices). When that backlog fills the window, the
+round degenerates to a consume-only pass that always advances — guaranteed
+progress, no per-position states ever materialized.
+
+Draft sources (``draft_params`` / ``draft_layers``):
+- int8-quantized weights (``ops/quant.quantize_decode_params``): near-1
+  acceptance (disagrees only where bf16/int8 argmax flips), ~2x cheaper
+  steps;
+- a shallow prefix of the stack (``draft_layers=M`` uses the first M
+  layers + final norm + tied head): ~(M/48)x step cost, acceptance depends
+  on how predictive early layers are (layer-skip self-speculation);
+- any distilled/smaller model with the same vocab.
+
+The reference has no speculative path (its generation.py:125-434 is plain
+step-by-step); this is a TPU-native capability addition targeting the
+single-stream gap called out in VERDICT round 1 (item 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from omnimamba_tpu.config import MambaConfig
+from omnimamba_tpu.models.backbone import (
+    BackboneCache,
+    apply_head,
+    backbone_forward,
+    backbone_step,
+    embed_decode_window,
+)
+
+
+class SpecDecodeOutput(NamedTuple):
+    sequences: jax.Array  # (1, max_length) prompt ++ generated (0-padded)
+    num_generated: jax.Array  # scalar int32
+    rounds: jax.Array  # verify rounds run
+    drafted: jax.Array  # draft tokens proposed
+    accepted: jax.Array  # draft tokens accepted
+
+
+def shallow_draft(params: Dict, cfg: MambaConfig, m_layers: int):
+    """Layer-skip draft: the first ``m_layers`` of the stack with the same
+    final norm, embeddings and tied head. Zero extra memory (views into the
+    stacked layer pytree)."""
+    draft = dict(params)
+    draft["layers"] = jax.tree.map(lambda a: a[:m_layers], params["layers"])
+    return draft, dataclasses.replace(cfg, n_layer=m_layers)
+
+
+class _SpecState(NamedTuple):
+    seq: jax.Array  # (1, T_buf) committed tokens
+    n_commit: jax.Array  # committed count (absolute, incl. prompt)
+    t_cache: BackboneCache  # target cache ...
+    t_pos: jax.Array  # ... which has consumed seq[:t_pos]
+    d_cache: BackboneCache  # draft cache ...
+    d_pos: jax.Array  # ... which has consumed seq[:d_pos]
+    eos_at: jax.Array  # absolute index of first generated eos (or T_buf)
+    rounds: jax.Array
+    drafted: jax.Array
+    accepted: jax.Array
+
+
+def speculative_generate(
+    params: Dict,
+    cfg: MambaConfig,
+    *,
+    input_ids: jax.Array,  # (1, L0)
+    input_embeddings: jax.Array,  # (1, L0, d)
+    task: str,
+    max_length: int,
+    draft_params: Optional[Dict] = None,
+    draft_cfg: Optional[MambaConfig] = None,
+    draft_layers: Optional[int] = None,
+    k_draft: int = 8,
+    eos_token_id: Optional[int] = None,
+    scan_impl: str = "auto",
+    cache_dtype=None,
+    draft_mode: str = "model",  # model | ngram
+    ngram: int = 3,
+) -> SpecDecodeOutput:
+    """Greedy speculative decode; returns the same token stream as
+    ``generate(..., sample=SampleParams(top_k=1))``.
+
+    ``draft_params`` defaults to ``params`` (then ``draft_layers`` should be
+    set, else the draft is the target itself and there is no speedup).
+
+    ``draft_mode="ngram"`` needs NO draft model: drafts are copied from the
+    most recent context position whose preceding ``ngram`` tokens match the
+    current tail (prompt-lookup decoding). A round then costs ONE target
+    window pass total, so even zero acceptance only pays ~1 window per
+    committed token (≈ plain decode), while repetitive text (VQA answers
+    echoing the prompt, code, quotes) rides far above it.
+    """
+    B, L0 = input_ids.shape
+    assert B == 1, "speculative decode is the single-stream path"
+    T_new = max_length - L0
+    assert T_new > 0, "max_length must exceed prompt length"
+    K = k_draft
+    W = 2 * K + 2  # verify window: committed backlog + K drafts
+    T_buf = max_length + W + K + 2  # slack so block writes never clamp
+
+    use_model_draft = draft_mode == "model"
+    if draft_mode not in ("model", "ngram"):
+        raise ValueError(f"unknown draft_mode {draft_mode!r}")
+    if draft_params is None:
+        draft_params = params
+    if draft_layers is not None:
+        draft_params, draft_cfg = shallow_draft(draft_params, cfg, draft_layers)
+    if draft_cfg is None:
+        draft_cfg = cfg
+    dtype = input_embeddings.dtype
+
+    # ---- prefill both models (target: full scan; draft: its own) ---------
+    hidden, t_cache = backbone_forward(
+        params, input_embeddings, task, cfg,
+        scan_impl=scan_impl, return_cache=True,
+    )
+    if cache_dtype is not None:
+        t_cache = t_cache._replace(ssm_state=t_cache.ssm_state.astype(cache_dtype))
+    logits0 = apply_head(params, hidden[:, -1], task)
+    c0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)  # (1,)
+
+    # draft prefill reuses the caller's prompt embeddings (same tables for
+    # shallow drafts; int8 drafts diverge only at quantization noise, which
+    # affects speed — acceptance — never correctness)
+    if use_model_draft:
+        _, d_cache = backbone_forward(
+            draft_params, input_embeddings, task, draft_cfg,
+            scan_impl=scan_impl, return_cache=True,
+        )
+    else:
+        d_cache = BackboneCache(  # unused loop-invariant placeholder
+            conv_state=jnp.zeros((1,), dtype), ssm_state=jnp.zeros((1,), dtype)
+        )
+
+    seq0 = jnp.zeros((1, T_buf), jnp.int32)
+    seq0 = jax.lax.dynamic_update_slice(seq0, input_ids.astype(jnp.int32), (0, 0))
+    seq0 = seq0.at[0, L0].set(c0[0])
+    if eos_token_id is not None:
+        eos0 = jnp.where(c0[0] == eos_token_id, jnp.int32(L0), jnp.int32(T_buf))
+    else:
+        eos0 = jnp.int32(T_buf)
+
+    state = _SpecState(
+        seq=seq0,
+        n_commit=jnp.int32(L0 + 1),
+        t_cache=t_cache,
+        t_pos=jnp.int32(L0),
+        d_cache=d_cache,
+        d_pos=jnp.int32(L0),
+        eos_at=eos0,
+        rounds=jnp.int32(0),
+        drafted=jnp.int32(0),
+        accepted=jnp.int32(0),
+    )
+
+    def _continue(p, c, tokens, pos0, valid, cfg_, cache_dt=None):
+        """One continuation pass: consume `tokens` (valid real) from cache
+        `c` at absolute pos0. Returns (hidden (1, W, d), new_cache)."""
+        emb = embed_decode_window(p, tokens, pos0, task, cfg_, dtype)
+        h, nc = backbone_forward(
+            p, emb, task, cfg_, add_mmu_pos=False, return_cache=True,
+            initial_cache=c, valid_len=valid, scan_impl=scan_impl,
+        )
+        if cache_dt is not None:
+            nc = nc._replace(ssm_state=nc.ssm_state.astype(cache_dt))
+        return h, nc
+
+    def cond_fn(s: _SpecState):
+        return jnp.logical_and(s.n_commit < max_length, s.eos_at >= s.n_commit)
+
+    def body_fn(s: _SpecState):
+        u = s.n_commit - s.t_pos  # committed backlog the target must consume
+        D = jnp.clip(W - u, 0, K)  # drafts that still fit in the window
+
+        # ---- draft: catch up on committed tokens, then propose K ---------
+        if use_model_draft:
+            du = s.n_commit - s.d_pos
+            d_tok = jax.lax.dynamic_slice(s.seq, (0, s.d_pos), (1, W))
+            h_d, d_base = _continue(
+                draft_params, s.d_cache, d_tok, s.d_pos, du, draft_cfg
+            )
+            # the pass consumed seq[:n_commit]; its last REAL row predicts
+            # the first draft token, each step consumes what it just drafted
+            last_row = jnp.take(h_d[0], jnp.clip(du - 1, 0, W - 1), axis=0)
+            d0 = jnp.argmax(
+                apply_head(draft_params, last_row[None], task), axis=-1
+            ).astype(jnp.int32)  # (1,)
+
+            def draft_step(carry, _):
+                tok, cache, pos = carry
+                h, nc = backbone_step(
+                    draft_params, tok, pos, cache, task, draft_cfg,
+                    dtype=dtype,
+                )
+                nxt = jnp.argmax(
+                    apply_head(draft_params, h, task), axis=-1
+                ).astype(jnp.int32)
+                return (nxt, nc, pos + 1), nxt[0]
+
+            (_, _, _), rest = jax.lax.scan(
+                draft_step, (d0, d_base, s.n_commit), None, length=K - 1
+            )
+            drafts = jnp.concatenate([d0, rest])  # (K,)
+        else:
+            # prompt-lookup: most recent p with seq[p-g:p] == seq[n-g:n];
+            # drafts = seq[p:p+K]. No model, no state, ~free.
+            row = s.seq[0]
+            g = ngram
+            tail = jax.lax.dynamic_slice(row, (s.n_commit - g,), (g,))
+            match = jnp.ones((T_buf,), bool)
+            for i in range(1, g + 1):
+                match = jnp.logical_and(
+                    match, jnp.roll(row, i) == tail[g - i]
+                )
+            idx = jnp.arange(T_buf)
+            valid = jnp.logical_and(
+                match, jnp.logical_and(idx >= g, idx < s.n_commit - 1)
+            )
+            p = jnp.max(jnp.where(valid, idx, -1))
+            # fallback: repeat the last committed token K times
+            drafts = jnp.where(
+                p >= 0,
+                jax.lax.dynamic_slice(row, (jnp.clip(p, 0, T_buf - K),), (K,)),
+                jnp.broadcast_to(row[s.n_commit - 1], (K,)),
+            ).astype(jnp.int32)
+            d_base = s.d_cache
+
+        # ---- verify: one target pass over [backlog ++ drafts] ------------
+        wi = jnp.arange(W)
+        committed = jax.lax.dynamic_slice(s.seq, (0, s.t_pos), (1, W))[0]
+        di = wi - u
+        use_draft = jnp.logical_and(di >= 0, di < D)
+        wtok = jnp.where(use_draft, drafts[jnp.clip(di, 0, K - 1)], committed)
+        v = u + D
+        h, t_new = _continue(
+            params, s.t_cache, wtok[None], s.t_pos, v, cfg,
+            cache_dt=cache_dtype,
+        )
+        logits = apply_head(params, h[0], task)  # (W, V) fp32
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (W,)
+
+        # accept drafts while they match the target's own argmax chain
+        ki = jnp.arange(K)
+        ok = jnp.logical_and(
+            ki < D,
+            jnp.take(wtok, u + ki, mode="clip")
+            == jnp.take(preds, u + ki - 1, mode="clip"),
+        )
+        j = jnp.sum(jnp.cumprod(ok.astype(jnp.int32)))  # accepted drafts
+        correction = preds[jnp.clip(u - 1 + j, 0, W - 1)]
+
+        # committed block: accepted drafts ++ correction (K+1 slots)
+        bi = jnp.arange(K + 1)
+        block = jnp.where(
+            bi < j, drafts[jnp.clip(bi, 0, K - 1)], correction
+        )
+        block = jnp.where(bi <= j, block, 0)
+        n_block = j + 1
+        if eos_token_id is not None:
+            is_eos = jnp.logical_and(block == eos_token_id, bi < n_block)
+            any_eos = jnp.any(is_eos)
+            first_eos = jnp.argmax(is_eos)  # in-block index
+            n_block = jnp.where(any_eos, first_eos + 1, n_block)
+            block = jnp.where(bi < n_block, block, 0)
+            eos_at = jnp.where(
+                jnp.logical_and(any_eos, s.eos_at >= jnp.int32(T_buf)),
+                s.n_commit + first_eos,
+                s.eos_at,
+            )
+        else:
+            eos_at = s.eos_at
+
+        seq = jax.lax.dynamic_update_slice(
+            s.seq, block[None], (0, s.n_commit)
+        )
+        # restore any committed suffix the zero-padded block overwrote
+        # (never happens: seq past n_commit is always 0) — block writes are
+        # masked to 0 there already, so nothing to restore.
+
+        full = j == D  # whole window consumed -> verify cache is exact
+        t_cache = jax.tree.map(
+            lambda new, old: jnp.where(full, new, old), t_new, s.t_cache
+        )
+        t_pos = jnp.where(full, s.t_pos + v, s.t_pos)
+
+        return _SpecState(
+            seq=seq,
+            n_commit=s.n_commit + n_block,
+            t_cache=t_cache,
+            t_pos=t_pos,
+            d_cache=d_base,
+            d_pos=s.n_commit,
+            eos_at=eos_at,
+            rounds=s.rounds + 1,
+            drafted=s.drafted + D,
+            accepted=s.accepted + j,
+        )
+
+    final = jax.lax.while_loop(cond_fn, body_fn, state)
+
+    # finalize: zero everything past the last valid token, clip to max_length
+    end = jnp.minimum(
+        jnp.minimum(final.n_commit, final.eos_at + 1), max_length
+    )
+    pos = jnp.arange(T_buf)
+    seq = jnp.where(pos[None, :] < end, final.seq, 0)
+    return SpecDecodeOutput(
+        sequences=seq[:, :max_length],
+        num_generated=end - L0,
+        rounds=final.rounds,
+        drafted=final.drafted,
+        accepted=final.accepted,
+    )

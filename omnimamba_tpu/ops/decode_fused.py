@@ -52,12 +52,20 @@ class FusedDecodeCache(NamedTuple):
 
 def to_fused_cache(cache, d_inner: int) -> FusedDecodeCache:
     """Split a BackboneCache's combined [x|bc] conv channels and flatten the
-    SSM (head, headdim) axes (same HBM bytes — (H, P) are adjacent)."""
+    SSM (head, headdim) axes (same HBM bytes — (H, P) are adjacent).
+
+    The batch axis is padded up to a multiple of 8 (TPU sublane): Mosaic
+    has no lowering for (1, X) row-reductions ("Offset change"), and decode
+    below B=8 is weight-bound anyway, so the pad rows are free. The step fn
+    slices real rows back out of the activation outputs; state rows simply
+    carry zeros."""
     L, B, H, P, N = cache.ssm_state.shape
+    Bp = -(-B // 8) * 8
+    pad = [(0, 0), (0, Bp - B)] + [(0, 0)] * 2
     return FusedDecodeCache(
-        conv_x=cache.conv_state[..., :d_inner],
-        conv_bc=cache.conv_state[..., d_inner:],
-        ssm=cache.ssm_state.reshape(L, B, H * P, N),
+        conv_x=jnp.pad(cache.conv_state[..., :d_inner], pad),
+        conv_bc=jnp.pad(cache.conv_state[..., d_inner:], pad),
+        ssm=jnp.pad(cache.ssm_state.reshape(L, B, H * P, N), pad),
     )
 
 
@@ -312,7 +320,11 @@ def fused_decode_step(
     quant = (qz, qx, qbc, qdt, qo)
 
     L, d, d_inner = wz.shape
-    B = h.shape[0]
+    B_real = h.shape[0]
+    B = cache.ssm.shape[1]  # sublane-padded by to_fused_cache
+    if B_real != B:
+        h = jnp.pad(h, ((0, B - B_real), (0, 0)))
+        residual = jnp.pad(residual, ((0, B - B_real), (0, 0)))
     assert cache.ssm.shape[-1] * 2 == wbc.shape[2], (
         "fused decode supports ngroups=1 (every shipped config)"
     )
@@ -466,4 +478,8 @@ def fused_decode_step(
         ),
     )(*inputs)
 
-    return h_out, res_out, FusedDecodeCache(convx_o, convbc_o, ssm_o)
+    return (
+        h_out[:B_real],
+        res_out[:B_real],
+        FusedDecodeCache(convx_o, convbc_o, ssm_o),
+    )

@@ -26,6 +26,12 @@ def main():
     parser.add_argument("--max-length", type=int, default=2048)
     parser.add_argument("--platform", type=str, default=None,
                         help="force jax platform (e.g. cpu for smoke runs)")
+    parser.add_argument(
+        "--speculative", type=str, default=None,
+        help="single-stream speedup, stream-identical: 'int8' (quantized "
+        "self-draft) or 'shallow:<M>' (first M layers draft)",
+    )
+    parser.add_argument("--k-draft", type=int, default=8)
     args = parser.parse_args()
 
     import jax
@@ -62,6 +68,18 @@ def main():
     pixel_values = dinosiglip_transform(raw, model.vision_cfg)
     feats = mmu_image_features(params, model, pixel_values)
 
+    spec_kw = {}
+    if args.speculative == "int8":
+        from omnimamba_tpu.ops.quant import quantize_decode_params
+
+        spec_kw = {"draft_params": quantize_decode_params(params),
+                   "k_draft": args.k_draft}
+    elif args.speculative and args.speculative.startswith("shallow:"):
+        spec_kw = {"draft_layers": int(args.speculative.split(":")[1]),
+                   "k_draft": args.k_draft}
+    elif args.speculative:
+        raise SystemExit(f"unknown --speculative mode {args.speculative!r}")
+
     sp = uni.sptids_dict
     eos = int(uni.text_tokenizer.eos_token_id)
     generated_texts = []
@@ -83,6 +101,7 @@ def main():
             max_length=args.max_length,
             sample=SampleParams(top_k=1),
             eos_token_id=eos,
+            **spec_kw,
         )
         n = int(out.num_generated)
         gen_ids = np.asarray(out.sequences)[0, input_ids.shape[1] + feats.shape[1] :][:n]

@@ -49,18 +49,46 @@ def test_fused_step_matches_scan_step(setup):
     np.testing.assert_allclose(
         np.asarray(h_fused), np.asarray(h_ref), rtol=1e-5, atol=1e-5
     )
+    # fused cache is sublane-padded along batch; compare the real rows
+    B = tok.shape[0]
+    ref_ssm = np.asarray(cache_ref.ssm_state)
     np.testing.assert_allclose(
-        np.asarray(fcache.ssm),
-        np.asarray(cache_ref.ssm_state).reshape(fcache.ssm.shape),
+        np.asarray(fcache.ssm)[:, :B],
+        ref_ssm.reshape(ref_ssm.shape[0], B, -1, ref_ssm.shape[-1]),
         rtol=1e-5, atol=1e-5,
     )
     ref_conv = np.asarray(cache_ref.conv_state)
     d_inner = cfg.mixer.d_inner
     np.testing.assert_allclose(
-        np.asarray(fcache.conv_x), ref_conv[..., :d_inner], rtol=1e-5, atol=1e-5
+        np.asarray(fcache.conv_x)[:, :B], ref_conv[..., :d_inner],
+        rtol=1e-5, atol=1e-5,
     )
     np.testing.assert_allclose(
-        np.asarray(fcache.conv_bc), ref_conv[..., d_inner:], rtol=1e-5, atol=1e-5
+        np.asarray(fcache.conv_bc)[:, :B], ref_conv[..., d_inner:],
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_fused_step_b1_padding(setup):
+    """B=1 (the single-stream case) pads to the 8-row sublane internally
+    and must still match the scan step exactly."""
+    cfg, params, ids, _ = setup
+    emb1 = embed_text(params, ids[:1], jnp.float32)
+    _, cache1 = backbone_forward(
+        params, emb1, "mmu", cfg, scan_impl="chunked", return_cache=True
+    )
+    tok = jnp.asarray([4], jnp.int32)
+    h_ref, _ = backbone_step(
+        params, tok, jnp.int32(6), cache1, "mmu", cfg, dtype=jnp.float32
+    )
+    h_f, fc = backbone_step_fused(
+        params, tok, jnp.int32(6), to_fused_cache(cache1, cfg.mixer.d_inner),
+        "mmu", cfg, dtype=jnp.float32,
+    )
+    assert h_f.shape == h_ref.shape
+    assert fc.ssm.shape[1] == 8
+    np.testing.assert_allclose(
+        np.asarray(h_f), np.asarray(h_ref), rtol=1e-5, atol=1e-5
     )
 
 
