@@ -130,6 +130,23 @@ def main():
     tps_q = B * T / (time.time() - t0)
     log(f"MMU decode int8: {tps_q:.0f} tok/s/chip (batch {B})")
 
+    # single-stream latency (B=1): int8 weights run AT the bf16-weight
+    # bandwidth floor (~3.5 ms/tok); bf16 is ~5 ms/tok
+    ids1 = ids[:1]
+    emb1 = embed_text(qparams["mamba"], ids1, jnp.bfloat16)
+    mmu1 = jax.jit(
+        lambda p, i, e: generate(
+            p, cfg, input_ids=i, input_embeddings=e, task="mmu",
+            max_length=L0 + T, sample=SampleParams(top_k=1),
+        ).sequences
+    )
+    out = mmu1(qparams["mamba"], ids1, emb1)
+    sync(out)
+    t0 = time.time()
+    out = mmu1(qparams["mamba"], ids1, emb1)
+    sync(out)
+    log(f"MMU decode single-stream int8: {T/(time.time()-t0):.0f} tok/s")
+
     # best-known serving config: B=64, int8 weights + bf16 SSM state
     B2 = 64
     ids2 = jnp.asarray(rng.integers(0, cfg.vocab_size, (B2, L0)), jnp.int32)

@@ -291,6 +291,12 @@ def backbone_forward(
         # v5e chip — measured; fine for small models).
         policy = None
         if remat == "proj":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "in_proj_out", "in_proj_z_out"
+            )
+        elif remat == "proj_xbd":
+            # keep x/bc/dt only; z (~half the bytes) recomputes as ONE
+            # matmul — the middle rung between "proj" and full remat
             policy = jax.checkpoint_policies.save_only_these_names("in_proj_out")
         elif remat == "dots":
             policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable

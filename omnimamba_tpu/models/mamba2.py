@@ -178,12 +178,17 @@ def _project_parts(
             h = xl @ lp[f"{task}_A"][i].astype(x.dtype)  # (..., r)
             for part in _PARTS:
                 out[part] = out[part] + (h @ lp[f"{task}_B_{part}"][i].astype(x.dtype)) * scale
-    # named so remat="proj" (train.trainer) can pin exactly these as
+    # named so remat="proj"/"proj_xbd" (train.trainer) can pin these as
     # checkpoint residuals: the in_proj matmul is ~60% of a block's forward
-    # FLOPs, and skipping its recompute costs only ~45 MB/layer at B=8 bf16
+    # FLOPs, and skipping its recompute costs only ~45 MB/layer at B=8 bf16.
+    # z gets its own name: it is ~half the saved bytes but its recompute is
+    # a single matmul, so "proj_xbd" drops it to fit bigger batches.
     from jax.ad_checkpoint import checkpoint_name
 
-    return {k: checkpoint_name(v, "in_proj_out") for k, v in out.items()}
+    return {
+        k: checkpoint_name(v, "in_proj_z_out" if k == "z" else "in_proj_out")
+        for k, v in out.items()
+    }
 
 
 def _dt_activation(dt_raw: jax.Array, dt_bias: jax.Array, cfg: Mamba2LayerConfig):

@@ -79,24 +79,30 @@ def make_train_step(
 
     def loss_fn(params, batch, key):
         params = _freeze(params)
-        # resolve remat="proj" against the traced batch size: the saved
-        # in_proj residuals cost ~0.8 MB/token at 1.3B bf16 (8512*2 B x 48
-        # layers); beyond ~3.5k tokens/device they blow the 16 GB HBM
-        # (B=16 t2i measured 2.3 G over), so fall back to full remat there
+        # resolve remat="proj" (auto) against the traced batch shape.
+        # Measured at 1.3B on one v5e:
+        # - t2i-only <=3.5k tok/dev: "proj_xbd" (save x/bc/dt, drop z — one
+        #   cheap matmul recompute) beats "proj" 420 vs 521 ms/step at B=8
+        #   (saving z costs more HBM write bandwidth than its recompute
+        #   costs FLOPs) and halves the residual memory.
+        # - beyond ~3.5k tok/dev: full remat ("proj" measured 2.3 G over
+        #   HBM at B=16; "proj_xbd" there hits a deterministic TPU-compiler
+        #   crash).
+        # - any mmu flow present: full remat — the frozen vision towers +
+        #   long mmu rows leave no residual headroom ("proj_xbd" measured
+        #   958 M over HBM at t2i B=6 + mmu 1182 tok, with the optax
+        #   global_norm temps and 4.2 G of fragmentation on top).
         remat = cfg.remat
         if remat == "proj":
             toks = 0
             if "t2i_flow" in batch:
                 b, nc = batch["t2i_flow"]["caption_ids"].shape
                 toks += b * (nc + batch["t2i_flow"]["inputs"].shape[1])
-            if "mmu_flow" in batch:
-                toks += (
-                    batch["mmu_flow"]["input_ids"].shape[0]
-                    * batch["mmu_flow"]["input_ids"].shape[1]
-                )
             n_dev = mesh.size if mesh is not None else 1
-            if toks / n_dev > 3500:
+            if "mmu_flow" in batch or toks / n_dev > 3500:
                 remat = True
+            else:
+                remat = "proj_xbd"
         k1, k2 = jax.random.split(key)
         loss_t2i = jnp.float32(0.0)
         loss_mmu = jnp.float32(0.0)
@@ -134,7 +140,16 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
+        # NOT optax.global_norm: its vdot path materializes the bf16 g*g
+        # product per leaf (3x768 MB HLO temps at 1.3B — the measured OOM
+        # margin at stage-2 mixed). A square->reduce per leaf fuses into
+        # one pass with no temp, accumulating in fp32.
+        gnorm = jnp.sqrt(
+            sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree.leaves(grads)
+            )
+        )
         metrics = {"loss": loss, "grad_norm": gnorm, **parts}
         return TrainState(params, opt_state, state.step + 1), metrics
 
