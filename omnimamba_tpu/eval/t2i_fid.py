@@ -62,6 +62,15 @@ def generate_samples(
             [[sp["<|t2i|>"], sp["<|sot|>"]], pad, [sp["<|eot|>"], sp["<|soi|>"]]]
         )
 
+    # one compiled program reused across batches (eager dispatch through
+    # the device tunnel is ~50x slower — measured 1152 s for 32 images)
+    gen = jax.jit(
+        lambda p, ids, k: t2i_generate(
+            p, model, ids, sample=sample_params, key=k,
+            cfg_scale=cfg_scale, dtype=dtype,
+        )[0]
+    )
+
     images: List[np.ndarray] = []
     key = jax.random.PRNGKey(seed)
     for i in range(0, len(captions), batch_size):
@@ -74,10 +83,7 @@ def generate_samples(
             un = np.stack([block(NULL_PROMPT)] * batch_size)
             ids = np.concatenate([ids, un], axis=0)
         key, sub = jax.random.split(key)
-        imgs, _ = t2i_generate(
-            params, model, jnp.asarray(ids, jnp.int32),
-            sample=sample_params, key=sub, cfg_scale=cfg_scale, dtype=dtype,
-        )
+        imgs = gen(params, jnp.asarray(ids, jnp.int32), sub)
         arr = np.asarray(from_vq_range(imgs))[:n_real]
         images.append(arr)
     out = np.concatenate(images, axis=0)

@@ -470,17 +470,11 @@ def backbone_step(
         )
         return (out, new_residual), new_cache
 
-    # unroll>1 trades compile time for removing the per-iteration dynamic
-    # weight-slab slice from the decode hot loop (experiment knob; XLA can
-    # fold statically-indexed slices into the consuming matmuls)
-    import os
-
-    unroll = int(os.environ.get("OMNIMAMBA_DECODE_UNROLL", "1"))
+    # NOTE: unrolling this scan (lax.scan unroll=8) was measured 2.5x
+    # SLOWER at 1.3B B=1 decode (80 vs 201 tok/s bf16): the rolled scan's
+    # slab streaming beats XLA's scheduling of the unrolled body.
     (h, residual), new_caches = jax.lax.scan(
-        body,
-        (h, residual),
-        (params["layers"], cache.conv_state, cache.ssm_state),
-        unroll=unroll,
+        body, (h, residual), (params["layers"], cache.conv_state, cache.ssm_state)
     )
     final = rms_norm(
         (h.astype(jnp.float32) + residual), params["norm_f"]["weight"], cfg.norm_eps

@@ -81,13 +81,13 @@ def make_train_step(
         params = _freeze(params)
         # resolve remat="proj" (auto) against the traced batch shape.
         # Measured at 1.3B on one v5e:
-        # - t2i-only <=3.5k tok/dev: "proj_xbd" (save x/bc/dt, drop z — one
+        # - t2i-only <=4k tok/dev: "proj_xbd" (save x/bc/dt, drop z — one
         #   cheap matmul recompute) beats "proj" 420 vs 521 ms/step at B=8
         #   (saving z costs more HBM write bandwidth than its recompute
         #   costs FLOPs) and halves the residual memory.
-        # - beyond ~3.5k tok/dev: full remat ("proj" measured 2.3 G over
-        #   HBM at B=16; "proj_xbd" there hits a deterministic TPU-compiler
-        #   crash).
+        # - beyond ~4k tok/dev: full remat. proj_xbd is verified through
+        #   B=12 (3948 tok, 597 ms) but at B=16 "proj" measured 2.3 G over
+        #   HBM and "proj_xbd" hit a deterministic TPU-compiler crash.
         # - any mmu flow present: full remat — the frozen vision towers +
         #   long mmu rows leave no residual headroom ("proj_xbd" measured
         #   958 M over HBM at t2i B=6 + mmu 1182 tok, with the optax
@@ -99,7 +99,7 @@ def make_train_step(
                 b, nc = batch["t2i_flow"]["caption_ids"].shape
                 toks += b * (nc + batch["t2i_flow"]["inputs"].shape[1])
             n_dev = mesh.size if mesh is not None else 1
-            if "mmu_flow" in batch or toks / n_dev > 3500:
+            if "mmu_flow" in batch or toks / n_dev > 4000:
                 remat = True
             else:
                 remat = "proj_xbd"
