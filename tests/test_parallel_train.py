@@ -123,3 +123,37 @@ def test_decay_mask_logical_rank():
     assert m["mamba"]["layers"]["mixer"]["in_proj"]["z"] is True
     # non-mamba params never decay (trainer.py:152-158 scopes to model.mamba)
     assert all(not v for v in jax.tree.leaves(m.get("projector", {})))
+
+
+def test_speculative_decode_under_tp_mesh():
+    """Continuation prefill + speculative decode under a tp-sharded mesh:
+    GSPMD must propagate shardings through the window passes and draft
+    steps, and the stream must match the unsharded greedy stream."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from omnimamba_tpu.models.backbone import embed_text, init_backbone
+    from omnimamba_tpu.models.generation import generate
+    from omnimamba_tpu.models.speculative import speculative_generate
+    from omnimamba_tpu.ops.sampling import SampleParams
+    from tests.test_backbone import tiny_config
+
+    cfg = tiny_config()
+    params = init_backbone(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 6)), jnp.int32)
+    emb = embed_text(params, ids, jnp.float32)
+    ref = generate(
+        params, cfg, input_ids=ids, input_embeddings=emb, task="mmu",
+        max_length=24, sample=SampleParams(top_k=1),
+    )
+
+    mesh = create_mesh({"tp": 2})
+    sparams = shard_params(mesh, params)
+    rep = NamedSharding(mesh, P())
+    out = jax.jit(
+        lambda p, i, e: speculative_generate(
+            p, cfg, input_ids=i, input_embeddings=e, task="mmu",
+            max_length=24, k_draft=4, draft_layers=2,
+        )
+    )(sparams, jax.device_put(ids, rep), jax.device_put(emb, rep))
+    np.testing.assert_array_equal(np.asarray(out.sequences), np.asarray(ref.sequences))
