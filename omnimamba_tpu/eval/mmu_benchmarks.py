@@ -130,9 +130,16 @@ def run_vqa_eval(
     conversation_template: str = "phi1.5",
     dtype=None,
     progress: Optional[Callable[[int, int], None]] = None,
+    batch_size: int = 16,
 ) -> List[Dict]:
     """Greedy-decode answers for each manifest row (inference_mmu semantics:
     phi1.5 wrap, feature splice, eos stop). Returns rows + {"prediction"}.
+
+    Rows decode ``batch_size`` at a time with RAGGED prompts (per-row
+    prompt_lengths, padding is an exact state no-op — each row's answer is
+    identical to running it alone). Prompt lengths bucket to multiples of
+    32 so a benchmark run compiles a handful of programs, not one per
+    unique question length.
     """
     import os
 
@@ -148,38 +155,53 @@ def run_vqa_eval(
     sp = model.sptids
     eos = int(uni.text_tokenizer.eos_token_id)
     rows = list(manifest)
-    out = []
-    feats_cache: Dict[str, object] = {}
-    for i, row in enumerate(rows):
-        img_path = os.path.join(image_root, row["image"])
-        if img_path not in feats_cache:
-            img = Image.open(img_path).convert("RGB")
-            raw = jnp.asarray(np.asarray(img, np.uint8))[None]
-            pix = dinosiglip_transform(raw, model.vision_cfg)
-            feats_cache.clear()  # keep one image resident
-            feats_cache[img_path] = mmu_image_features(params, model, pix)
-        feats = feats_cache[img_path]
+    out: List[Dict] = []
 
+    def prompt_ids(row):
         conv = conv_templates[conversation_template].copy()
         conv.append_message(conv.roles[0], row["question"])
         conv.append_message(conv.roles[1], None)
         ids = list(uni.text_tokenizer(conv.get_prompt().strip())["input_ids"])
-        input_ids = np.asarray(
-            [[sp["<|mmu|>"], sp["<|soi|>"], sp["<|eoi|>"], sp["<|sot|>"]] + ids],
-            np.int32,
-        )
-        prompt_total = input_ids.shape[1] + feats.shape[1]
+        return [sp["<|mmu|>"], sp["<|soi|>"], sp["<|eoi|>"], sp["<|sot|>"]] + ids
+
+    for start in range(0, len(rows), batch_size):
+        group = rows[start : start + batch_size]
+        n_real = len(group)
+        while len(group) < batch_size:  # static shapes
+            group.append(group[-1])
+
+        raws = []
+        for row in group:
+            img = Image.open(os.path.join(image_root, row["image"])).convert("RGB")
+            side = model.vision_cfg.dino.img_size
+            raws.append(np.asarray(img.resize((side, side)), np.uint8))
+        pix = dinosiglip_transform(jnp.asarray(np.stack(raws)), model.vision_cfg)
+        feats = mmu_image_features(params, model, pix)
+
+        id_rows = [prompt_ids(r) for r in group]
+        lens = np.asarray([len(r) for r in id_rows], np.int32)
+        L0 = int(-(-max(len(r) for r in id_rows) // 32) * 32)  # bucket
+        ids_arr = np.full((batch_size, L0), int(uni.pad_id), np.int32)
+        for i, r in enumerate(id_rows):
+            ids_arr[i, : len(r)] = r
+
+        total = L0 + feats.shape[1]
         gen = mmu_generate(
-            params, model, jnp.asarray(input_ids), feats,
-            max_length=prompt_total + max_new_tokens,
+            params, model, jnp.asarray(ids_arr), feats,
+            max_length=total + max_new_tokens,
             eos_token_id=eos, dtype=dtype,
+            text_lengths=jnp.asarray(lens),
         )
         n = int(gen.num_generated)
-        pred_ids = np.asarray(gen.sequences)[0, prompt_total:][:n]
-        pred = uni.text_tokenizer.decode(pred_ids, skip_special_tokens=True)
-        out.append({**row, "prediction": pred})
+        seqs = np.asarray(gen.sequences)[:, total:]
+        for i in range(n_real):
+            toks = seqs[i][:n].tolist()
+            if eos in toks:
+                toks = toks[: toks.index(eos)]
+            pred = uni.text_tokenizer.decode(toks, skip_special_tokens=True)
+            out.append({**group[i], "prediction": pred})
         if progress:
-            progress(i + 1, len(rows))
+            progress(len(out), len(rows))
     return out
 
 

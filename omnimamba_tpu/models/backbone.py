@@ -359,22 +359,25 @@ def _het_step(params, h, residual, caches, task, cfg, dtype):
 
 def _decode_embed(params, token_ids, pos, task, cfg, dtype):
     """Per-task next-token embedding + positional gather
-    (ids-in branch, mixer_seq_simple.py:387-402)."""
+    (ids-in branch, mixer_seq_simple.py:387-402).
+
+    ``pos`` may be a scalar (all rows at the same position) or a (B,)
+    vector (ragged batches: each row at its own absolute position)."""
+    pos_v = jnp.broadcast_to(
+        jnp.asarray(pos, jnp.int32), (token_ids.shape[0],)
+    )
     if task == "t2i":
         h = embed_image_tokens(params, token_ids, dtype)
-        pe = jax.lax.dynamic_index_in_dim(
-            params["pos_embed"][0], pos, axis=0, keepdims=False
-        )
-        return h + pe.astype(dtype)[None]
+        pe = jnp.take(params["pos_embed"][0], pos_v, axis=0)  # (B, d)
+        return h + pe.astype(dtype)
     if task == "mmu":
         h = embed_text(params, token_ids, dtype)
-        pe = jax.lax.dynamic_index_in_dim(
+        pe = jnp.take(
             params["mmu_pos_embed"][0],
-            jnp.minimum(pos, cfg.mmu_pos_len - 1),
+            jnp.minimum(pos_v, cfg.mmu_pos_len - 1),
             axis=0,
-            keepdims=False,
         )
-        return h + pe.astype(dtype)[None]
+        return h + pe.astype(dtype)
     raise ValueError(task)
 
 

@@ -72,6 +72,7 @@ def generate(
     cache_dtype="auto",
     decode_impl: str = "auto",  # auto | fused | scan
     token_callback=None,
+    prompt_lengths: Optional[jax.Array] = None,  # (B,) ragged true lengths
 ) -> GenerateOutput:
     """``token_callback(tokens (B,) np.int32)``: host-side streaming hook —
     the analog of the reference's TextStreamer.put (generation.py:256-257),
@@ -84,12 +85,25 @@ def generate(
     reference's fp32 below that; None forces fp32 always
     (bf16 halves the dominant HBM
     traffic of batched decode, ~1.5x throughput at B>=16, with greedy streams
-    typically unchanged — verify per-model with eval/fidelity.py)."""
+    typically unchanged — verify per-model with eval/fidelity.py).
+
+    ``prompt_lengths`` (B,): RAGGED batching. ``input_ids``/embeddings are
+    right-padded to L0; row i's true prompt is its first prompt_lengths[i]
+    tokens. Padded positions are exact SSM no-ops (dt=0 masking), each row
+    samples its first token from its own last real position, and decode
+    positions advance per row — every row's stream is identical to running
+    it alone at B=1. No reference analog (its generation is single-stream);
+    this is what makes mixed-length batched serving exact."""
     B, L0 = input_ids.shape
     T_new = max_length - L0
     assert T_new > 0, "max_length must exceed prompt length"
     if key is None:
         key = jax.random.PRNGKey(0)
+    if prompt_lengths is not None:
+        assert teacher_outputs is None and cfg_scale is None, (
+            "ragged batching composes with plain sampling only"
+        )
+        prompt_lengths = jnp.asarray(prompt_lengths, jnp.int32)
 
     # ---- prefill ----------------------------------------------------------
     hidden, cache = backbone_forward(
@@ -100,6 +114,7 @@ def generate(
         scan_impl=scan_impl,
         return_cache=True,
         attn_max_len=max_length,  # KV capacity for any attn layers
+        valid_len=prompt_lengths,
     )
     if cache_dtype == "auto":
         cache_dtype = jnp.bfloat16 if B >= 16 else None
@@ -117,7 +132,12 @@ def generate(
         from omnimamba_tpu.ops.decode_fused import to_fused_cache
 
         cache = to_fused_cache(cache, cfg.mixer.d_inner)
-    logits0 = apply_head(params, hidden[:, -1], task)  # (B, V) fp32
+    if prompt_lengths is not None:
+        # each row's next-token logits come from its own last REAL position
+        h_last = hidden[jnp.arange(B), prompt_lengths - 1]
+    else:
+        h_last = hidden[:, -1]
+    logits0 = apply_head(params, h_last, task)  # (B, V) fp32
 
     def _combine_cfg(logits):
         if cfg_scale is None:
@@ -155,15 +175,17 @@ def generate(
         stopped = (
             jnp.all(tok == eos_token_id) if eos_token_id is not None else jnp.bool_(False)
         )
-        # next logits (position id = L0 + n, generation.py:186-191)
+        # next logits (position id = L0 + n, generation.py:186-191;
+        # ragged rows advance from their own prompt length)
+        pos = (prompt_lengths if prompt_lengths is not None else L0) + s.n
         if use_fused:
             hidden, new_cache = backbone_step_fused(
-                params, tok, L0 + s.n, s.cache, task, cfg,
+                params, tok, pos, s.cache, task, cfg,
                 dtype=input_embeddings.dtype,
             )
         else:
             hidden, new_cache = backbone_step(
-                params, tok, L0 + s.n, s.cache, task, cfg,
+                params, tok, pos, s.cache, task, cfg,
                 dtype=input_embeddings.dtype,
             )
         logits = _combine_cfg(apply_head(params, hidden, task))

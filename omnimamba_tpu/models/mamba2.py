@@ -256,7 +256,11 @@ def mamba2_forward(
     Bm, Cm = _split_bc(bc, cfg)
     dt = _dt_activation(parts["dt"], params["dt_bias"], cfg)
     if valid_len is not None:
-        keep = jnp.arange(L)[None, :, None] < valid_len
+        # scalar: one shared window length; (B,): RAGGED rows — each row's
+        # padding is an exact SSM no-op, so right-padded batches of unequal
+        # prompts prefill in one program with per-row-correct final states
+        v = jnp.reshape(jnp.asarray(valid_len, jnp.int32), (-1, 1, 1))
+        keep = jnp.arange(L)[None, :, None] < v
         dt = jnp.where(keep, dt, 0.0)
     A = -jnp.exp(params["A_log"].astype(jnp.float32))
 
@@ -328,7 +332,7 @@ def mamba2_forward(
                 xbc_raw, cfg.d_conv, initial_state=init_conv
             )
         else:
-            # window ending at the last REAL token: full[:, v : v+W-1]
+            # window ending at the last REAL token per row: full[v : v+W-1]
             W1 = cfg.d_conv - 1
             if initial_cache is not None:
                 left = initial_cache.conv_state.astype(xbc_raw.dtype)
@@ -337,9 +341,12 @@ def mamba2_forward(
                     (B, W1, xbc_raw.shape[-1]), xbc_raw.dtype
                 )
             full = jnp.concatenate([left, xbc_raw], axis=1)
-            conv_state = jax.lax.dynamic_slice_in_dim(
-                full, jnp.asarray(valid_len, jnp.int32), W1, axis=1
+            starts = jnp.broadcast_to(
+                jnp.asarray(valid_len, jnp.int32), (B,)
             )
+            conv_state = jax.vmap(
+                lambda f, s: jax.lax.dynamic_slice_in_dim(f, s, W1, axis=0)
+            )(full, starts)
         cache = Mamba2Cache(conv_state=conv_state, ssm_state=final_state)
     return out, cache
 

@@ -319,6 +319,7 @@ def mmu_generate(
     draft_params: Optional[Dict] = None,
     draft_layers: Optional[int] = None,
     k_draft: int = 8,
+    text_lengths: Optional[jax.Array] = None,  # (B,) ragged true text lens
 ) -> GenerateOutput:
     """Visual question answering decode (reference scripts/inference_mmu.py:
     embeds = [2 specials | 729 image | rest of text], then generate(task=mmu)).
@@ -329,6 +330,11 @@ def mmu_generate(
     ``draft_params``/``draft_layers`` switch to speculative greedy decoding
     (models/speculative.py) for single-stream (B=1, top_k=1) latency — the
     token stream is identical to the plain path; only speed changes.
+
+    ``text_lengths`` (B,): ragged batching — input_ids right-padded, row
+    i's true text is its first text_lengths[i] tokens (incl. the 4 leading
+    specials). Each row's stream is exactly its B=1 stream
+    (generation.generate prompt_lengths semantics).
     """
     text_emb = embed_text(params["mamba"], input_ids, dtype)
     emb = jnp.concatenate(
@@ -374,4 +380,8 @@ def mmu_generate(
         key=key,
         scan_impl=scan_impl,
         cache_dtype=cache_dtype,
+        prompt_lengths=(
+            None if text_lengths is None
+            else jnp.asarray(text_lengths, jnp.int32) + image_features.shape[1]
+        ),
     )

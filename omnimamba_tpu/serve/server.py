@@ -184,7 +184,11 @@ class OmniMambaService:
         pad_id = int(self.uni.pad_id)
         ids_arr = np.full((len(rows), max_len), pad_id, np.int32)
         for i, r in enumerate(id_rows):
-            ids_arr[i, : len(r)] = r  # right-pad; eos ends decode
+            ids_arr[i, : len(r)] = r  # right-pad
+        # ragged batching: each row decodes from ITS OWN prompt length —
+        # padding is an exact state no-op, so mixed-length requests in one
+        # batch get exactly their single-request streams
+        text_lens = np.asarray([len(r) for r in id_rows], np.int32)
 
         pix = dinosiglip_transform(jnp.asarray(np.stack(raws)), self.model.vision_cfg)
         feats = mmu_image_features(self.params, self.model, pix)
@@ -193,6 +197,7 @@ class OmniMambaService:
             self.params, self.model, jnp.asarray(ids_arr), feats,
             max_length=total + self.mmu_max_new,
             eos_token_id=eos, dtype=self.dtype, cache_dtype=self.cache_dtype,
+            text_lengths=jnp.asarray(text_lens),
         )
         n = int(gen.num_generated)
         seqs = np.asarray(gen.sequences)[:, total:]

@@ -108,3 +108,44 @@ def test_cold_start_equals_plain_forward(setup):
     )
     np.testing.assert_array_equal(h0, h1)
     np.testing.assert_array_equal(c0.ssm_state, c1.ssm_state)
+
+
+def test_ragged_batched_generate_matches_per_row(setup):
+    """Right-padded mixed-length prompts with prompt_lengths must produce
+    EXACTLY the stream each row gets alone at B=1 (padding is a state
+    no-op; positions advance per row)."""
+    import jax
+    from omnimamba_tpu.models.generation import generate
+    from omnimamba_tpu.ops.sampling import SampleParams
+
+    cfg, params, _, _, _ = setup
+    rng = np.random.default_rng(7)
+    lens = [4, 6, 3]
+    L0 = max(lens)
+    rows = [rng.integers(0, cfg.vocab_size, (n,)) for n in lens]
+    padded = np.zeros((len(lens), L0), np.int32)
+    for i, r in enumerate(rows):
+        padded[i, : len(r)] = r
+
+    T = 10
+    emb = embed_text(params, jnp.asarray(padded), jnp.float32)
+    out = jax.jit(
+        lambda p, i, e, v: generate(
+            p, cfg, input_ids=i, input_embeddings=e, task="mmu",
+            max_length=L0 + T, sample=SampleParams(top_k=1),
+            prompt_lengths=v, cache_dtype=None,
+        ).sequences
+    )(params, jnp.asarray(padded), emb, jnp.asarray(lens, jnp.int32))
+
+    for i, r in enumerate(rows):
+        ids1 = jnp.asarray(r[None], jnp.int32)
+        emb1 = embed_text(params, ids1, jnp.float32)
+        ref = generate(
+            params, cfg, input_ids=ids1, input_embeddings=emb1, task="mmu",
+            max_length=lens[i] + T, sample=SampleParams(top_k=1),
+            cache_dtype=None,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out)[i, L0 : L0 + T],
+            np.asarray(ref.sequences)[0, lens[i] : lens[i] + T],
+        )
