@@ -329,6 +329,18 @@ def in1k_vit_l() -> ViTConfig:
     )
 
 
+def _dinoclip_336() -> VisionConfig:
+    """dinoclip-vit-l-336px (dinoclip_vit.py:20-25): DINOv2-L reg4 + CLIP-L
+    openai, both at 336px (576 patches per tower). Same dual-tower engine
+    as DinoSigLIP; the second slot carries the CLIP geometry."""
+    import dataclasses as _dc
+
+    return VisionConfig(
+        dino=_dc.replace(dinov2_l_reg4_384(), img_size=336),
+        siglip=clip_vit_l_336(),
+    )
+
+
 def _single(name_cfg):
     def make():
         # single-featurizer "fusion": second slot empty width handled by
@@ -345,6 +357,7 @@ def _single(name_cfg):
 VISION_BACKBONES = {
     "dinosiglip-vit-so-384px": VisionConfig,
     "dinosiglip-tiny": _dinosiglip_tiny,
+    "dinoclip-vit-l-336px": _dinoclip_336,
     "clip-vit-l-336px": _single(clip_vit_l_336),
     "siglip-vit-so400m-384px": _single(siglip_so400m_384),
     "dinov2-vit-l-384px": _single(dinov2_l_reg4_384),
