@@ -33,6 +33,11 @@ def main():
                         help="also write TensorBoard scalars to <run>/tb")
     parser.add_argument("--wandb", action="store_true",
                         help="also log to wandb when available (no-op offline)")
+    parser.add_argument("--batch-t2i", type=int, default=None,
+                        help="override cfg.batch_size_t2i (PER-MESH batch; "
+                        "the shipped YAMLs assume 8 chips)")
+    parser.add_argument("--batch-mmu", type=int, default=None,
+                        help="override cfg.batch_size_mmu")
     args = parser.parse_args()
 
     import jax
@@ -68,12 +73,20 @@ def main():
     cfg = TrainConfig.from_yaml(args.config) if os.path.exists(args.config) else TrainConfig()
     if args.max_steps:
         cfg.max_steps = args.max_steps
+    if args.batch_t2i:
+        cfg.batch_size_t2i = args.batch_t2i
+    if args.batch_mmu:
+        cfg.batch_size_mmu = args.batch_mmu
 
     run_name = f"{cfg.omnimamba_model}_{datetime.now().strftime('%Y-%m-%d_%H-%M-%S')}"
     out_dir = os.path.join(cfg.output_dir, run_name)
     os.makedirs(out_dir, exist_ok=True)
 
-    model, params, uni = build_model(cfg, dtype=jnp.float32)
+    # param dtype follows the config's precision (all shipped YAMLs train
+    # bf16, train_stage2.py:58); fp32 params + AdamW at 1.3B + vision
+    # towers alone exceed one chip's 16 GB HBM
+    param_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    model, params, uni = build_model(cfg, dtype=param_dtype)
 
     # --- data --------------------------------------------------------------
     loaders = {}
