@@ -320,6 +320,7 @@ class Trainer:
         key = jax.random.PRNGKey(self.cfg.seed)
         step = resume_step
         t_last = time.time()
+        step_last = step
         metrics = {}
         while step < max_steps:
             for batch in self.loader:
@@ -336,12 +337,14 @@ class Trainer:
                 if step % self.cfg.logging_steps == 0 or step == 1:
                     m = {k: float(v) for k, v in metrics.items()}
                     dt = time.time() - t_last
+                    n_done = step - step_last
                     t_last = time.time()
+                    step_last = step
                     self.log_fn(
                         f"step {step} loss {m['loss']:.4f} "
                         f"(t2i {m['loss_t2i']:.4f} mmu {m['loss_mmu']:.4f}) "
                         f"gnorm {m['grad_norm']:.3f} "
-                        f"{self.cfg.logging_steps / max(dt, 1e-9):.2f} it/s"
+                        f"{n_done / max(dt, 1e-9):.2f} it/s"
                     )
                 if self.metrics_writer is not None and step % self.cfg.logging_steps == 0:
                     self.metrics_writer.log(step, {k: float(v) for k, v in metrics.items()})

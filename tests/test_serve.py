@@ -114,3 +114,32 @@ def test_concurrent_mixed_endpoints(server):
     [t.start() for t in ts]
     [t.join(timeout=300) for t in ts]
     assert "image_png_b64" in results["t2i"] and "text" in results["mmu"]
+
+
+def test_mmu_ragged_batch_matches_solo(server):
+    """Two different-length questions served concurrently (one ragged
+    batch) must answer exactly as when served alone — padding must not
+    leak into shorter rows' state."""
+    import concurrent.futures
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.random.default_rng(1).random((28, 28, 3)) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    img = base64.b64encode(buf.getvalue()).decode()
+    qs = ["hi", "what exactly is shown in this particular image please"]
+
+    solo = [
+        _post(server + "/v1/mmu", {"image_png_b64": img, "question": q})
+        for q in qs
+    ]
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        both = list(ex.map(
+            lambda q: _post(server + "/v1/mmu",
+                            {"image_png_b64": img, "question": q}),
+            qs,
+        ))
+    for s, b in zip(solo, both):
+        assert s["text"] == b["text"]
