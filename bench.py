@@ -67,9 +67,9 @@ def main():
     n_params = sum(x.size for x in jax.tree.leaves(params["mamba"]))
     log(f"init {n_params/1e9:.2f}B params in {time.time()-t0:.0f}s")
 
-    B = 48  # serving batch per chip (sweep: 9.1 img/s at 48 vs 8.4 at 32
-    # and 5.3 at 64 — the B=64 step hits an HBM cliff); also the
-    # reference's own per-GPU t2i train batch (config_stage2.yaml)
+    B = 48  # serving batch per chip (sweep with auto bf16 state: 10.1
+    # img/s at 48, 10.3 at 64 — and the reference's own per-GPU t2i train
+    # batch, config_stage2.yaml)
     rng = np.random.default_rng(0)
     text_ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 72)), jnp.int32)
 

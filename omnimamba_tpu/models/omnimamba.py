@@ -268,7 +268,7 @@ def t2i_generate(
     dtype=jnp.bfloat16,
     decode_image: bool = True,
     scan_impl: str = "auto",
-    cache_dtype=None,
+    cache_dtype="auto",
 ):
     """Caption ids -> 256 VQ tokens -> image (reference omnimamba.py:311-337).
 
@@ -315,7 +315,7 @@ def mmu_generate(
     key: Optional[jax.Array] = None,
     dtype=jnp.bfloat16,
     scan_impl: str = "auto",
-    cache_dtype=None,
+    cache_dtype="auto",
     draft_params: Optional[Dict] = None,
     draft_layers: Optional[int] = None,
     k_draft: int = 8,

@@ -116,6 +116,8 @@ def speculative_generate(
     """
     B, L0 = input_ids.shape
     assert B == 1, "speculative decode is the single-stream path"
+    if cache_dtype == "auto":
+        cache_dtype = None  # B=1: state traffic is not the bottleneck
     T_new = max_length - L0
     assert T_new > 0, "max_length must exceed prompt length"
     K = k_draft

@@ -91,7 +91,7 @@ class OmniMambaService:
     """Owns params + compiled generate programs; called by the batchers."""
 
     def __init__(self, model, params, uni, *, t2i_batch=8, mmu_batch=8,
-                 mmu_max_new=64, dtype=None, cache_dtype=None):
+                 mmu_max_new=64, dtype=None, cache_dtype="auto"):
         import jax.numpy as jnp
 
         self.model = model

@@ -64,7 +64,7 @@ def main():
         model, params, uni,
         t2i_batch=args.t2i_batch, mmu_batch=args.mmu_batch,
         mmu_max_new=args.mmu_max_new,
-        cache_dtype=jnp2.bfloat16 if args.bf16_state else None,
+        cache_dtype=jnp2.bfloat16 if args.bf16_state else "auto",
     )
     server = make_server(service, args.host, args.port, args.max_wait_ms)
     print(f"[serve] listening on {args.host}:{args.port} "
