@@ -149,8 +149,9 @@ def main():
     sync(out)
     log(f"MMU decode single-stream int8: {T/(time.time()-t0):.0f} tok/s")
 
-    # best-known serving config: B=64, int8 weights + bf16 SSM state
-    B2 = 64
+    # best-known serving config: B=96, int8 weights + bf16 SSM state
+    # (sweep: 2990 at 64, 3067 at 96, 2079 at 128 — HBM pressure past 96)
+    B2 = 96
     ids2 = jnp.asarray(rng.integers(0, cfg.vocab_size, (B2, L0)), jnp.int32)
     emb2 = embed_text(qparams["mamba"], ids2, jnp.bfloat16)
     mmu_best = jax.jit(
@@ -165,7 +166,7 @@ def main():
     t0 = time.time()
     out = mmu_best(qparams["mamba"], ids2, emb2)
     sync(out)
-    log(f"MMU decode best (B=64, int8+bf16-state): "
+    log(f"MMU decode best (B={B2}, int8+bf16-state): "
         f"{B2 * T / (time.time() - t0):.0f} tok/s/chip")
 
     print(

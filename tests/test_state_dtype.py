@@ -50,3 +50,15 @@ def test_auto_bf16_state_matches_fp32_streams_at_batch():
     bf16 = _greedy(params, cfg, 16, jnp.bfloat16)
     np.testing.assert_array_equal(auto, bf16)  # policy engaged
     np.testing.assert_array_equal(auto, fp32)  # and stream-faithful
+
+
+def test_model_level_auto_state_dtype():
+    """t2i_generate/mmu_generate must default cache_dtype='auto' (B>=16 ->
+    bf16 decode state) — the None default regression cost 11% T2I
+    throughput and caused the 'B=64 cliff' (round 2)."""
+    import inspect
+
+    from omnimamba_tpu.models.omnimamba import mmu_generate, t2i_generate
+
+    assert inspect.signature(t2i_generate).parameters["cache_dtype"].default == "auto"
+    assert inspect.signature(mmu_generate).parameters["cache_dtype"].default == "auto"
