@@ -318,6 +318,7 @@ def mmu_generate(
     cache_dtype="auto",
     draft_params: Optional[Dict] = None,
     draft_layers: Optional[int] = None,
+    draft_mode: str = "model",  # model | ngram (ngram needs no draft)
     k_draft: int = 8,
     text_lengths: Optional[jax.Array] = None,  # (B,) ragged true text lens
 ) -> GenerateOutput:
@@ -347,7 +348,7 @@ def mmu_generate(
     splice_ids = jnp.zeros((B, emb.shape[1]), jnp.int32)
     splice_ids = splice_ids.at[:, :2].set(input_ids[:, :2])
     splice_ids = splice_ids.at[:, 2 + image_features.shape[1] :].set(input_ids[:, 2:])
-    if draft_params is not None or draft_layers is not None:
+    if draft_params is not None or draft_layers is not None or draft_mode != "model":
         from omnimamba_tpu.models.speculative import speculative_generate
 
         assert sample.top_k == 1, "speculative decode is greedy-only"
@@ -363,6 +364,7 @@ def mmu_generate(
             max_length=max_length,
             draft_params=dp,
             draft_layers=draft_layers,
+            draft_mode=draft_mode,
             k_draft=k_draft,
             eos_token_id=eos_token_id,
             scan_impl=scan_impl,

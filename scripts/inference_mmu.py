@@ -29,7 +29,8 @@ def main():
     parser.add_argument(
         "--speculative", type=str, default=None,
         help="single-stream speedup, stream-identical: 'int8' (quantized "
-        "self-draft) or 'shallow:<M>' (first M layers draft)",
+        "self-draft), 'shallow:<M>' (first M layers draft), or 'ngram' "
+        "(prompt-lookup drafting — no draft model, zero-cost floor)",
     )
     parser.add_argument("--k-draft", type=int, default=8)
     args = parser.parse_args()
@@ -77,6 +78,8 @@ def main():
     elif args.speculative and args.speculative.startswith("shallow:"):
         spec_kw = {"draft_layers": int(args.speculative.split(":")[1]),
                    "k_draft": args.k_draft}
+    elif args.speculative == "ngram":
+        spec_kw = {"draft_mode": "ngram", "k_draft": args.k_draft}
     elif args.speculative:
         raise SystemExit(f"unknown --speculative mode {args.speculative!r}")
 

@@ -168,3 +168,20 @@ def test_mmu_generate_speculative_matches_plain(omni):
         draft_layers=2, k_draft=4,
     )
     np.testing.assert_array_equal(out.sequences, ref.sequences)
+
+
+def test_mmu_generate_ngram_speculative(omni):
+    model, params = omni
+    pix = {"dino": jnp.ones((1, 28, 28, 3)), "siglip": jnp.ones((1, 28, 28, 3))}
+    feats = mmu_image_features(params, model, pix)
+    prompt = jnp.array([[model.sptids["<|mmu|>"], model.sptids["<|soi|>"],
+                         model.sptids["<|eoi|>"], model.sptids["<|sot|>"], 7, 8]],
+                       jnp.int32)
+    ref = mmu_generate(
+        params, model, prompt, feats, max_length=20, dtype=jnp.float32
+    )
+    out = mmu_generate(
+        params, model, prompt, feats, max_length=20, dtype=jnp.float32,
+        draft_mode="ngram", k_draft=4,
+    )
+    np.testing.assert_array_equal(out.sequences, ref.sequences)
