@@ -20,7 +20,9 @@ from tests.test_convert_checkpoint import reference_style_state_dict, tiny_cfg
 
 
 def _silu(x):
-    return x / (1.0 + np.exp(-x))
+    from scipy.special import expit
+
+    return x * expit(x)
 
 
 def _softplus(x):
@@ -42,15 +44,20 @@ def reference_forward(sd, cfg, ids, task="mmu"):
     h' = e^{dt A} h + dt x B^T, y = C h' + D x (mamba_ssm Mamba2),
     RMSNormGated(norm_before_gate=False), out_proj, final norm, tied head.
     """
-    m = cfg.mixer
-    d, d_inner, H, P = cfg.d_model, m.d_inner, m.nheads, m.headdim
-    G, N, W = m.ngroups, m.d_state, m.d_conv
-    scale = cfg.lora.alpha / cfg.lora.r
     L = len(ids)
-
     h = sd["backbone.embedding.weight"].astype(np.float64)[ids]
     if task == "mmu":
         h = h + sd["backbone.mmu_pos_embed"].astype(np.float64)[0, :L]
+    return _blocks_and_head(sd, cfg, h, task=task)
+
+
+def _blocks_and_head(sd, cfg, h, task):
+    """The 48-block stack + final norm + task-tied head on fp64 embeddings."""
+    m = cfg.mixer
+    d_inner, H, P = m.d_inner, m.nheads, m.headdim
+    G, N, W = m.ngroups, m.d_state, m.d_conv
+    scale = cfg.lora.alpha / cfg.lora.r
+    L = h.shape[0]
     res = np.zeros_like(h)
 
     for i in range(cfg.n_layer):
@@ -100,7 +107,12 @@ def reference_forward(sd, cfg, ids, task="mmu"):
         h = yf @ sd[f"{p}.mixer.out_proj.weight"].astype(np.float64).T
 
     final = _rms(h + res, sd["backbone.norm_f.weight"].astype(np.float64), cfg.norm_eps)
-    return final @ sd["backbone.embedding.weight"].astype(np.float64).T
+    table = (
+        sd["backbone.embedding.weight"]
+        if task == "mmu"
+        else sd["backbone.img_embeddings.word_embeddings.weight"]
+    )
+    return final @ table.astype(np.float64).T
 
 
 def test_converted_weights_match_reference_math():
@@ -154,3 +166,53 @@ def test_converted_weights_match_reference_greedy_stream():
         scan_impl="reference", cache_dtype=None,
     )
     np.testing.assert_array_equal(np.asarray(out.sequences)[0], np.asarray(seq))
+
+
+def test_converted_weights_match_reference_math_t2i():
+    """Same contract for the t2i path: img token embeddings through the
+    FusedMLP project_in (GPT2Embeddings, mixer_seq_simple.py:73-88),
+    learned pos_embed, the t2i LoRA branch, and the tied img head."""
+    from scipy.special import erf
+
+    def gelu(x):  # exact (approximate=False)
+        return 0.5 * x * (1.0 + erf(x / np.sqrt(2.0)))
+
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(13)
+    sd = reference_style_state_dict(cfg, rng)
+    params = jax.tree.map(jnp.asarray, convert_mamba_lm(sd, cfg))
+
+    ids = np.asarray(rng.integers(0, cfg.vqvae_vocab_size, 7))
+    L = len(ids)
+
+    # --- fp64 reference embedding path ---------------------------------
+    e = sd["backbone.img_embeddings.word_embeddings.weight"].astype(np.float64)[ids]
+    pi = "backbone.img_embeddings.project_in.projector"
+    for j in (0, 2, 4):
+        w = sd[f"{pi}.{j}.weight"].astype(np.float64)
+        b = sd[f"{pi}.{j}.bias"].astype(np.float64)
+        e = e @ w.T + b
+        if j != 4:
+            e = gelu(e)
+    h0 = e + sd["backbone.pos_embed"].astype(np.float64)[0, :L]
+
+    # reuse the block stack from reference_forward by inlining: call it on a
+    # "text" path would add mmu_pos; instead run blocks here via the helper
+    # with task-specific embedding injected. Simplest: monkey-path by
+    # replicating the loop — factored into _blocks below.
+    ref_logits = _blocks_and_head(sd, cfg, h0, task="t2i")
+
+    # --- framework on converted weights --------------------------------
+    from omnimamba_tpu.models.backbone import embed_image_tokens
+
+    jids = jnp.asarray(ids[None], jnp.int32)
+    emb = embed_image_tokens(params, jids, jnp.float32)
+    emb = emb + params["pos_embed"][:, :L].astype(jnp.float32)
+    hidden, _ = backbone_forward(params, emb, "t2i", cfg, scan_impl="reference")
+    ours = np.asarray(apply_head(params, hidden[0], "t2i"), np.float64)
+
+    denom = np.maximum(np.abs(ref_logits), 1.0)
+    assert (np.abs(ours - ref_logits) / denom).max() < 5e-3
+    np.testing.assert_array_equal(
+        np.argmax(ours, axis=-1), np.argmax(ref_logits, axis=-1)
+    )
