@@ -170,13 +170,24 @@ def run_vqa_eval(
         while len(group) < batch_size:  # static shapes
             group.append(group[-1])
 
-        raws = []
-        for row in group:
-            img = Image.open(os.path.join(image_root, row["image"])).convert("RGB")
-            side = model.vision_cfg.dino.img_size
-            raws.append(np.asarray(img.resize((side, side)), np.uint8))
+        # benchmarks ask many questions per image (POPE: ~6/image) —
+        # featurize each UNIQUE image once, then gather per row. The ViT
+        # batch stays batch_size-shaped (pad with repeats) so one program
+        # serves every group.
+        paths = [os.path.join(image_root, r["image"]) for r in group]
+        uniq = list(dict.fromkeys(paths))
+        side = model.vision_cfg.dino.img_size
+        raws = [
+            np.asarray(
+                Image.open(p).convert("RGB").resize((side, side)), np.uint8
+            )
+            for p in uniq
+        ]
+        while len(raws) < batch_size:
+            raws.append(raws[-1])
         pix = dinosiglip_transform(jnp.asarray(np.stack(raws)), model.vision_cfg)
-        feats = mmu_image_features(params, model, pix)
+        feats_u = mmu_image_features(params, model, pix)
+        feats = feats_u[jnp.asarray([uniq.index(p) for p in paths])]
 
         id_rows = [prompt_ids(r) for r in group]
         lens = np.asarray([len(r) for r in id_rows], np.int32)

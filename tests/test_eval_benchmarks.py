@@ -99,3 +99,40 @@ def test_t2i_fid_pipeline(tmp_path):
     fid_other = compute_fid(ref, other, feat, batch_size=3)
     assert fid_self < 1e-6
     assert fid_other >= fid_self
+
+
+def test_vqa_eval_unique_image_dedup(tmp_path):
+    """Rows sharing an image must get the same predictions as the same
+    questions over distinct (identical-content) image files — the
+    per-batch unique-image featurization gather must route correctly."""
+    from PIL import Image
+
+    from omnimamba_tpu.models.omnimamba import init_omnimamba
+
+    model = tiny_model()
+    params = init_omnimamba(jax.random.PRNGKey(0), model)
+    tok = OfflineTokenizer(base_vocab=49)
+    uni = UniversalPrompting(tok)
+    model = model._replace(
+        sptids={k: v % model.cfg.vocab_size for k, v in uni.sptids_dict.items()}
+    )
+
+    arr_a = (np.random.default_rng(0).random((28, 28, 3)) * 255).astype(np.uint8)
+    arr_b = (np.random.default_rng(1).random((28, 28, 3)) * 255).astype(np.uint8)
+    for name, arr in [("a.png", arr_a), ("b.png", arr_b),
+                      ("a2.png", arr_a), ("b2.png", arr_b)]:
+        Image.fromarray(arr).save(tmp_path / name)
+
+    qs = ["what is this", "is there a cat", "how many", "what color"]
+    shared = [{"image": ["a.png", "b.png"][i % 2], "question": q, "answer": "x"}
+              for i, q in enumerate(qs)]
+    distinct = [{"image": ["a.png", "b.png", "a2.png", "b2.png"][i],
+                 "question": q, "answer": "x"} for i, q in enumerate(qs)]
+
+    kw = dict(image_root=str(tmp_path), max_new_tokens=4,
+              dtype=jnp.float32, batch_size=4)
+    p_shared = [r["prediction"] for r in
+                run_vqa_eval(params, model, uni, shared, **kw)]
+    p_distinct = [r["prediction"] for r in
+                  run_vqa_eval(params, model, uni, distinct, **kw)]
+    assert p_shared == p_distinct
