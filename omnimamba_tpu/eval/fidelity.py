@@ -83,6 +83,35 @@ class FidelityPack(NamedTuple):
     meta: Dict
 
 
+def teacher_forced_logits(
+    params: Dict,
+    cfg: MambaConfig,
+    input_embeddings: jax.Array,
+    stream: np.ndarray,  # (B, T) token sequence incl. prompt — fed verbatim
+    prompt_len: int,
+    k_logits: int,
+    task: str,
+    *,
+    scan_impl: str = "chunked",
+) -> np.ndarray:
+    """fp32 logits at the first ``k_logits`` generated positions while
+    feeding the GIVEN stream's tokens (not this model's argmax) — every
+    position is conditioned on the same prefix as the stream's producer,
+    so logit deltas isolate layer-level numerics from prefix divergence."""
+    hidden, cache = backbone_forward(
+        params, input_embeddings, task, cfg,
+        scan_impl=scan_impl, return_cache=True,
+    )
+    logits = [np.asarray(apply_head(params, hidden[:, -1], task), np.float32)]
+    for t in range(prompt_len, min(prompt_len + k_logits - 1, stream.shape[1] - 1)):
+        hidden, cache = backbone_step(
+            params, jnp.asarray(stream[:, t]), jnp.int32(t), cache, task, cfg,
+            dtype=input_embeddings.dtype,
+        )
+        logits.append(np.asarray(apply_head(params, hidden, task), np.float32))
+    return np.stack(logits, axis=1)
+
+
 def record_pack(
     params: Dict,
     cfg: MambaConfig,
@@ -103,23 +132,15 @@ def record_pack(
         params, cfg, input_ids, input_embeddings, task, max_length,
         scan_impl=scan_impl,
     )
-    L0 = input_ids.shape[1]
-    hidden, cache = backbone_forward(
-        params, input_embeddings, task, cfg,
-        scan_impl=scan_impl, return_cache=True,
+    logits = teacher_forced_logits(
+        params, cfg, input_embeddings, stream, input_ids.shape[1], k_logits,
+        task, scan_impl=scan_impl,
     )
-    logits = [np.asarray(apply_head(params, hidden[:, -1], task), np.float32)]
-    for t in range(L0, min(L0 + k_logits - 1, stream.shape[1] - 1)):
-        hidden, cache = backbone_step(
-            params, jnp.asarray(stream[:, t]), jnp.int32(t), cache, task, cfg,
-            dtype=input_embeddings.dtype,
-        )
-        logits.append(np.asarray(apply_head(params, hidden, task), np.float32))
     return FidelityPack(
         task=task,
         prompt_ids=np.asarray(input_ids),
         stream=stream,
-        logits=np.stack(logits, axis=1),
+        logits=logits,
         meta=meta or {},
     )
 
@@ -159,15 +180,25 @@ def compare_to_pack(
     scan_impl: str = "chunked",
 ) -> Dict:
     """Replay the pack's prompt through THIS model; report stream diff and
-    per-position max |logit delta| over the recorded window."""
-    ours = record_pack(
+    per-position max |logit delta| over the recorded window.
+
+    The logit comparison TEACHER-FORCES the pack's recorded stream (not our
+    own greedy continuation), so a delta at position t always compares
+    logits conditioned on the identical prefix — deltas past a stream
+    divergence still localize numerics rather than compounding the prefix
+    difference."""
+    our_stream = greedy_stream(
         params, cfg, jnp.asarray(pack.prompt_ids), input_embeddings,
-        pack.task, pack.stream.shape[1],
-        k_logits=pack.logits.shape[1], scan_impl=scan_impl,
+        pack.task, pack.stream.shape[1], scan_impl=scan_impl,
     )
-    diff = compare_streams(ours.stream, pack.stream)
-    k = min(ours.logits.shape[1], pack.logits.shape[1])
-    dl = np.abs(ours.logits[:, :k] - pack.logits[:, :k]).max(axis=-1)
+    diff = compare_streams(our_stream, pack.stream)
+    our_logits = teacher_forced_logits(
+        params, cfg, input_embeddings, np.asarray(pack.stream),
+        pack.prompt_ids.shape[1], pack.logits.shape[1], pack.task,
+        scan_impl=scan_impl,
+    )
+    k = min(our_logits.shape[1], pack.logits.shape[1])
+    dl = np.abs(our_logits[:, :k] - pack.logits[:, :k]).max(axis=-1)
     return {
         "stream": diff,
         "max_logit_delta": dl,  # (B, K)

@@ -9,12 +9,20 @@ state_dict — so ``eval/t2i_fid.py`` produces standard FID the moment
 cannot be fetched, and the shipped default therefore falls back to
 VQ-encoder features, which are a RELATIVE metric only).
 
-Implementation notes (torchvision semantics):
+Implementation notes — two pooling variants, selected by ``variant``:
 - BasicConv2d = Conv(bias=False) -> BatchNorm(eps=1e-3) -> ReLU; at
   inference BN folds to scale/shift from running stats.
-- pytorch-fid's FIDInception differs from torchvision in using
-  count_include_pad=False for the in-block avg pools; we follow that choice
-  (it is the FID-standard one).
+- ``variant="fid"`` reproduces pytorch-fid's graph (the published-number
+  protocol): in-block avg pools use count_include_pad=False
+  (FIDInceptionA/C/E_1), and Mixed_7c — FIDInceptionE_2 in pytorch-fid —
+  uses a 3x3 stride-1 MAX pool in its pool branch (a deliberate
+  reproduction of the original TF-FID port's quirk). Use this with the
+  TF-ported ``pt_inception-2015-12-05`` weights (fc has 1008 classes).
+- ``variant="torchvision"`` reproduces torchvision eval semantics: avg
+  pools everywhere with count_include_pad=True. FID computed with
+  torchvision weights under this variant is self-consistent but only
+  APPROXIMATELY comparable to published pytorch-fid numbers (different
+  weights and Mixed_7c pooling); treat cross-paper deltas <~1 FID as noise.
 - Input contract: uint8 HWC images; resized to 299x299 bilinear
   (antialias=False, matching torch's F.interpolate default used by
   pytorch-fid) and scaled to [-1, 1].
@@ -78,27 +86,37 @@ def _maxpool(x, k=3, s=2):
     )
 
 
-def _avgpool3(x):
-    """3x3 stride-1 pad-1 average pool with count_include_pad=False
-    (pytorch-fid's FIDInception choice)."""
-    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+def _avgpool3(x, count_include_pad=False):
+    """3x3 stride-1 pad-1 average pool. count_include_pad=False is
+    pytorch-fid's FIDInception choice; True is torchvision's default."""
     s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
     )
+    if count_include_pad:
+        return s / 9.0
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
     n = jax.lax.reduce_window(
         ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
     )
     return s / n
 
 
-def _inception_a(p, x, prefix):
+def _maxpool3_same(x):
+    """3x3 stride-1 pad-1 max pool (pytorch-fid FIDInceptionE_2's pool
+    branch — the TF-FID port quirk in Mixed_7c)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
+    )
+
+
+def _inception_a(p, x, prefix, incl_pad=False):
     b1 = _conv(p[f"{prefix}.branch1x1"], x)
     b5 = _conv(p[f"{prefix}.branch5x5_1"], x)
     b5 = _conv(p[f"{prefix}.branch5x5_2"], b5, padding=2)
     b3 = _conv(p[f"{prefix}.branch3x3dbl_1"], x)
     b3 = _conv(p[f"{prefix}.branch3x3dbl_2"], b3, padding=1)
     b3 = _conv(p[f"{prefix}.branch3x3dbl_3"], b3, padding=1)
-    bp = _conv(p[f"{prefix}.branch_pool"], _avgpool3(x))
+    bp = _conv(p[f"{prefix}.branch_pool"], _avgpool3(x, incl_pad))
     return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -111,7 +129,7 @@ def _inception_b(p, x, prefix):
     return jnp.concatenate([b3, bd, bp], axis=-1)
 
 
-def _inception_c(p, x, prefix):
+def _inception_c(p, x, prefix, incl_pad=False):
     b1 = _conv(p[f"{prefix}.branch1x1"], x)
     b7 = _conv(p[f"{prefix}.branch7x7_1"], x)
     b7 = _conv(p[f"{prefix}.branch7x7_2"], b7, padding=((0, 0), (3, 3)))
@@ -121,7 +139,7 @@ def _inception_c(p, x, prefix):
     bd = _conv(p[f"{prefix}.branch7x7dbl_3"], bd, padding=((0, 0), (3, 3)))
     bd = _conv(p[f"{prefix}.branch7x7dbl_4"], bd, padding=((3, 3), (0, 0)))
     bd = _conv(p[f"{prefix}.branch7x7dbl_5"], bd, padding=((0, 0), (3, 3)))
-    bp = _conv(p[f"{prefix}.branch_pool"], _avgpool3(x))
+    bp = _conv(p[f"{prefix}.branch_pool"], _avgpool3(x, incl_pad))
     return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -136,7 +154,7 @@ def _inception_d(p, x, prefix):
     return jnp.concatenate([b3, b7, bp], axis=-1)
 
 
-def _inception_e(p, x, prefix):
+def _inception_e(p, x, prefix, pool="avg", incl_pad=False):
     b1 = _conv(p[f"{prefix}.branch1x1"], x)
     b3 = _conv(p[f"{prefix}.branch3x3_1"], x)
     b3 = jnp.concatenate(
@@ -155,13 +173,24 @@ def _inception_e(p, x, prefix):
         ],
         axis=-1,
     )
-    bp = _conv(p[f"{prefix}.branch_pool"], _avgpool3(x))
+    pooled = _maxpool3_same(x) if pool == "max" else _avgpool3(x, incl_pad)
+    bp = _conv(p[f"{prefix}.branch_pool"], pooled)
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=())
-def inception_pool3(params: Dict, images: jax.Array) -> jax.Array:
-    """images: (B, 299, 299, 3) float32 in [-1, 1] -> (B, 2048) features."""
+@functools.partial(jax.jit, static_argnames=("variant",))
+def inception_pool3(params: Dict, images: jax.Array, variant: str = "fid") -> jax.Array:
+    """images: (B, 299, 299, 3) float32 in [-1, 1] -> (B, 2048) features.
+
+    variant="fid": pytorch-fid graph (count_include_pad=False avg pools,
+    Mixed_7c pool branch is a 3x3 max pool) — the published-number protocol,
+    meant for the TF-ported pt_inception-2015-12-05 weights.
+    variant="torchvision": plain torchvision eval graph (avg everywhere,
+    count_include_pad=True) — only approximately FID-comparable.
+    """
+    if variant not in ("fid", "torchvision"):
+        raise ValueError(f"unknown inception variant: {variant!r}")
+    incl_pad = variant == "torchvision"
     x = images
     x = _conv(params["Conv2d_1a_3x3"], x, stride=2)
     x = _conv(params["Conv2d_2a_3x3"], x)
@@ -171,13 +200,14 @@ def inception_pool3(params: Dict, images: jax.Array) -> jax.Array:
     x = _conv(params["Conv2d_4a_3x3"], x)
     x = _maxpool(x)
     for m in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
-        x = _inception_a(params, x, m)
+        x = _inception_a(params, x, m, incl_pad)
     x = _inception_b(params, x, "Mixed_6a")
     for m in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
-        x = _inception_c(params, x, m)
+        x = _inception_c(params, x, m, incl_pad)
     x = _inception_d(params, x, "Mixed_7a")
-    for m in ("Mixed_7b", "Mixed_7c"):
-        x = _inception_e(params, x, m)
+    x = _inception_e(params, x, "Mixed_7b", pool="avg", incl_pad=incl_pad)
+    pool_7c = "avg" if variant == "torchvision" else "max"
+    x = _inception_e(params, x, "Mixed_7c", pool=pool_7c, incl_pad=incl_pad)
     return jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> (B, 2048)
 
 
@@ -191,11 +221,24 @@ def preprocess_uint8(imgs_uint8: np.ndarray) -> jax.Array:
     return x * 2.0 - 1.0
 
 
-def inception_features(weights_path: str) -> Callable[[np.ndarray], np.ndarray]:
+def inception_features(
+    weights_path: str, variant: str | None = None
+) -> Callable[[np.ndarray], np.ndarray]:
     """Feature extractor for compute_fid(): loads a converted ``.npz`` (see
-    scripts/convert_ckpt.py --inception) or a torch ``.pth`` state_dict."""
+    scripts/convert_ckpt.py --inception) or a torch ``.pth`` state_dict.
+
+    ``variant=None`` auto-detects: pytorch-fid's TF-ported weights carry a
+    1008-class fc (``pt_inception-2015-12-05``) -> "fid" graph; a
+    1000-class fc (torchvision) -> "torchvision" graph, which is only
+    approximately comparable to published FID numbers (see module doc).
+    """
     if weights_path.endswith(".npz"):
         flat = dict(np.load(weights_path))
+        if variant is None:
+            v = flat.pop("__variant__", None)
+            variant = str(np.asarray(v).item()) if v is not None else "fid"
+        else:
+            flat.pop("__variant__", None)
         params: Dict = {}
         for k, v in flat.items():
             base, leaf = k.rsplit("/", 1)
@@ -206,12 +249,24 @@ def inception_features(weights_path: str) -> Callable[[np.ndarray], np.ndarray]:
         state = torch.load(weights_path, map_location="cpu", weights_only=True)
         if "state_dict" in state:
             state = state["state_dict"]
-        params = convert_torch_inception(
-            {k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")}
+        npstate = {k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")}
+        if variant is None:
+            fc = npstate.get("fc.weight")
+            variant = "fid" if fc is not None and fc.shape[0] == 1008 else "torchvision"
+        params = convert_torch_inception(npstate)
+    if variant == "torchvision":
+        import warnings
+
+        warnings.warn(
+            "InceptionV3 running with torchvision weights/graph: FID values "
+            "are only approximately comparable to published pytorch-fid "
+            "numbers (use pt_inception-2015-12-05 weights for exact protocol)."
         )
 
     def fn(imgs_uint8: np.ndarray) -> np.ndarray:
-        return np.asarray(inception_pool3(params, preprocess_uint8(imgs_uint8)))
+        return np.asarray(
+            inception_pool3(params, preprocess_uint8(imgs_uint8), variant=variant)
+        )
 
     return fn
 

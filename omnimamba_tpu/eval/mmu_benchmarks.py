@@ -10,6 +10,8 @@ natively:
 - ``pope_metrics``: yes/no accuracy, precision, recall, F1 (POPE protocol).
 - ``vqa_accuracy``: VQAv2 soft accuracy (min(#matching-annotators/3, 1)).
 - ``exact_match``: GQA-style normalized exact match.
+- ``mmmu_metrics`` + multiple-choice prompt packing: MMMU letter-answer
+  protocol (teaser MMMU 30.6).
 
 Dataset manifests are plain JSONL so any of the benchmark suites can be
 exported into the same shape.
@@ -107,6 +109,57 @@ def mme_metrics(rows: Sequence[Dict]) -> Dict[str, float]:
     }
 
 
+_MMMU_LETTERS = "ABCDEFGHIJ"
+
+
+def mmmu_question(row: Dict) -> str:
+    """Multiple-choice question text: question + lettered options + the
+    standard 'answer with the letter' instruction (LLaVA-lineage MMMU
+    harness phrasing). Row: {"question", "options": [str, ...]}."""
+    opts = row["options"]
+    lines = [row["question"]]
+    lines += [f"{_MMMU_LETTERS[i]}. {o}" for i, o in enumerate(opts)]
+    lines.append("Answer with the option's letter from the given choices directly.")
+    return "\n".join(lines)
+
+
+def mmmu_extract_letter(pred: str, options: Sequence[str]) -> Optional[str]:
+    """Parse a letter answer out of a free-form prediction: first a
+    standalone option letter (optionally '(A)', 'A.', 'A)'), else a unique
+    normalized option-text match."""
+    k = len(options)
+    letters = _MMMU_LETTERS[:k]
+    m = re.search(rf"\b([{letters}])\b[.):]?", pred.strip(), re.IGNORECASE)
+    if m:
+        return m.group(1).upper()
+    p = _normalize(pred)
+    hits = [i for i, o in enumerate(options) if _normalize(str(o)) == p]
+    if len(hits) == 1:
+        return _MMMU_LETTERS[hits[0]]
+    # substring fallback (unique containment only)
+    hits = [i for i, o in enumerate(options) if _normalize(str(o)) and _normalize(str(o)) in p]
+    if len(hits) == 1:
+        return _MMMU_LETTERS[hits[0]]
+    return None
+
+
+def mmmu_metrics(rows: Sequence[Dict]) -> Dict[str, float]:
+    """MMMU protocol: rows carry {"prediction", "options", "answer"} where
+    answer is the gold letter; unparseable predictions count wrong."""
+    correct = 0
+    parsed = 0
+    for r in rows:
+        letter = mmmu_extract_letter(r["prediction"], r["options"])
+        parsed += letter is not None
+        correct += letter is not None and letter == str(r["answer"]).strip().upper()
+    n = len(rows)
+    return {
+        "accuracy": correct / max(n, 1),
+        "parse_rate": parsed / max(n, 1),
+        "total": float(n),
+    }
+
+
 def load_manifest(path: str) -> List[Dict]:
     """JSONL rows: {"image": path, "question": str,
     "answer": str | "answers": [str, ...]}."""
@@ -131,6 +184,8 @@ def run_vqa_eval(
     dtype=None,
     progress: Optional[Callable[[int, int], None]] = None,
     batch_size: int = 16,
+    feature_cache_images: int = 64,
+    multiple_choice: bool = False,
 ) -> List[Dict]:
     """Greedy-decode answers for each manifest row (inference_mmu semantics:
     phi1.5 wrap, feature splice, eos stop). Returns rows + {"prediction"}.
@@ -140,14 +195,26 @@ def run_vqa_eval(
     identical to running it alone). Prompt lengths bucket to multiples of
     32 so a benchmark run compiles a handful of programs, not one per
     unique question length.
+
+    Image features are cached across batches (LRU of ``feature_cache_images``
+    entries): POPE-style suites ask ~6 questions per image, often straddling
+    batch boundaries, and the dual-ViT forward dominates the per-row cost.
+    Preprocessing feeds each RAW image through the per-tower PIL-exact
+    transform (``host_dinosiglip_transform``) — the same parity-tested
+    semantics as the serve/single-image path, with the configured
+    interpolation and no squash pre-resize.
+
+    ``multiple_choice=True`` (MMMU protocol) packs rows carrying
+    {"options": [...]} as lettered multiple-choice questions.
     """
     import os
+    from collections import OrderedDict
 
     import jax.numpy as jnp
     from PIL import Image
 
     from omnimamba_tpu.data.conversation import conv_templates
-    from omnimamba_tpu.data.transforms import dinosiglip_transform
+    from omnimamba_tpu.data.transforms import host_dinosiglip_transform
     from omnimamba_tpu.models.omnimamba import mmu_generate, mmu_image_features
 
     if dtype is None:
@@ -156,10 +223,13 @@ def run_vqa_eval(
     eos = int(uni.text_tokenizer.eos_token_id)
     rows = list(manifest)
     out: List[Dict] = []
+    cache_cap = max(int(feature_cache_images), batch_size)
+    feat_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
 
     def prompt_ids(row):
+        question = mmmu_question(row) if multiple_choice else row["question"]
         conv = conv_templates[conversation_template].copy()
-        conv.append_message(conv.roles[0], row["question"])
+        conv.append_message(conv.roles[0], question)
         conv.append_message(conv.roles[1], None)
         ids = list(uni.text_tokenizer(conv.get_prompt().strip())["input_ids"])
         return [sp["<|mmu|>"], sp["<|soi|>"], sp["<|eoi|>"], sp["<|sot|>"]] + ids
@@ -170,24 +240,30 @@ def run_vqa_eval(
         while len(group) < batch_size:  # static shapes
             group.append(group[-1])
 
-        # benchmarks ask many questions per image (POPE: ~6/image) —
-        # featurize each UNIQUE image once, then gather per row. The ViT
+        # featurize each unique image at most once ACROSS batches; the ViT
         # batch stays batch_size-shaped (pad with repeats) so one program
         # serves every group.
         paths = [os.path.join(image_root, r["image"]) for r in group]
-        uniq = list(dict.fromkeys(paths))
-        side = model.vision_cfg.dino.img_size
-        raws = [
-            np.asarray(
-                Image.open(p).convert("RGB").resize((side, side)), np.uint8
-            )
-            for p in uniq
-        ]
-        while len(raws) < batch_size:
-            raws.append(raws[-1])
-        pix = dinosiglip_transform(jnp.asarray(np.stack(raws)), model.vision_cfg)
-        feats_u = mmu_image_features(params, model, pix)
-        feats = feats_u[jnp.asarray([uniq.index(p) for p in paths])]
+        missing = [p for p in dict.fromkeys(paths) if p not in feat_cache]
+        if missing:
+            towers: Dict[str, list] = {"dino": [], "siglip": []}
+            for p in missing:
+                raw = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+                td = host_dinosiglip_transform(raw, model.vision_cfg)
+                for k in towers:
+                    towers[k].append(td[k])
+            while len(towers["dino"]) < batch_size:
+                for k in towers:
+                    towers[k].append(towers[k][-1])
+            pix = {k: jnp.asarray(np.stack(v)) for k, v in towers.items()}
+            new_feats = np.asarray(mmu_image_features(params, model, pix))
+            for p, f in zip(missing, new_feats):
+                feat_cache[p] = f
+        for p in paths:
+            feat_cache.move_to_end(p)  # LRU touch BEFORE eviction
+        while len(feat_cache) > cache_cap:
+            feat_cache.popitem(last=False)
+        feats = jnp.asarray(np.stack([feat_cache[p] for p in paths]))
 
         id_rows = [prompt_ids(r) for r in group]
         lens = np.asarray([len(r) for r in id_rows], np.int32)
@@ -217,7 +293,9 @@ def run_vqa_eval(
 
 
 def score_manifest(rows: List[Dict], protocol: str) -> Dict[str, float]:
-    """Aggregate predictions per protocol: pope | gqa | vqav2."""
+    """Aggregate predictions per protocol: pope | gqa | vqav2 | mme | mmmu."""
+    if protocol == "mmmu":
+        return mmmu_metrics(rows)
     if protocol == "pope":
         return pope_metrics(
             [r["prediction"] for r in rows], [r["answer"] for r in rows]

@@ -352,6 +352,12 @@ def mmu_generate(
         from omnimamba_tpu.models.speculative import speculative_generate
 
         assert sample.top_k == 1, "speculative decode is greedy-only"
+        assert text_lengths is None, (
+            "speculative decode does not support ragged text_lengths — "
+            "right-padded prompts would decode with pads as real context; "
+            "use the plain path for ragged batches"
+        )
+        assert key is None, "speculative decode is deterministic (greedy); key unused"
         dp = draft_params["mamba"] if (
             draft_params is not None and "mamba" in draft_params
         ) else draft_params

@@ -21,7 +21,8 @@ def main():
         help="self-generate N synthetic manifest rows + images (no datasets "
         "needed; exercises the full pipeline end-to-end)",
     )
-    parser.add_argument("--protocol", required=True, choices=["pope", "gqa", "vqav2", "mme"])
+    parser.add_argument("--protocol", required=True,
+                        choices=["pope", "gqa", "vqav2", "mme", "mmmu"])
     parser.add_argument("--image-root", default=".")
     parser.add_argument("--config", default="config/config_stage2.yaml")
     parser.add_argument("--ckpt", default=None)
@@ -60,11 +61,19 @@ def main():
             img = rng.integers(0, 255, (480, 640, 3), np.uint8)
             p = os.path.join(root, f"img_{i:04d}.png")
             Image.fromarray(img).save(p)
-            rows.append({
-                "image": p,
-                "question": f"Is there a cat in the image? (sample {i})",
-                "answer": "yes" if i % 2 == 0 else "no",
-            })
+            if args.protocol == "mmmu":
+                rows.append({
+                    "image": p,
+                    "question": f"What is shown in the image? (sample {i})",
+                    "options": ["a cat", "a dog", "a car", "a tree"],
+                    "answer": "ABCD"[i % 4],
+                })
+            else:
+                rows.append({
+                    "image": p,
+                    "question": f"Is there a cat in the image? (sample {i})",
+                    "answer": "yes" if i % 2 == 0 else "no",
+                })
         args.manifest = os.path.join(root, "manifest.jsonl")
         with open(args.manifest, "w") as f:
             f.writelines(json.dumps(r) + "\n" for r in rows)
@@ -81,6 +90,7 @@ def main():
     rows = run_vqa_eval(
         params, model, uni, rows,
         image_root=args.image_root, max_new_tokens=args.max_new_tokens,
+        multiple_choice=args.protocol == "mmmu",
         progress=lambda i, n: print(f"\r{i}/{n}", end="", file=sys.stderr),
     )
     print(file=sys.stderr)

@@ -101,6 +101,112 @@ def test_t2i_fid_pipeline(tmp_path):
     assert fid_other >= fid_self
 
 
+def test_mmmu_protocol_scoring():
+    from omnimamba_tpu.eval.mmu_benchmarks import (
+        mmmu_extract_letter,
+        mmmu_metrics,
+        mmmu_question,
+    )
+
+    q = mmmu_question({"question": "What is 2+2?",
+                       "options": ["3", "4", "5"]})
+    assert "A. 3" in q and "B. 4" in q and "C. 5" in q
+    assert "letter" in q
+
+    opts = ["red", "green", "blue"]
+    assert mmmu_extract_letter("B", opts) == "B"
+    assert mmmu_extract_letter("(c)", opts) == "C"
+    assert mmmu_extract_letter("The answer is A.", opts) == "A"
+    assert mmmu_extract_letter("green", opts) == "B"  # option-text fallback
+    assert mmmu_extract_letter("it is clearly blue", opts) == "C"  # containment
+    assert mmmu_extract_letter("I don't know", opts) is None
+
+    rows = [
+        {"prediction": "A", "options": opts, "answer": "A"},
+        {"prediction": "The answer is B.", "options": opts, "answer": "B"},
+        {"prediction": "purple", "options": opts, "answer": "C"},
+    ]
+    m = mmmu_metrics(rows)
+    assert m["accuracy"] == pytest.approx(2 / 3)
+    assert m["parse_rate"] == pytest.approx(2 / 3)
+    s = score_manifest(rows, "mmmu")
+    assert s["accuracy"] == m["accuracy"]
+
+
+def test_vqa_eval_multiple_choice_loop(tmp_path):
+    """MMMU-style multiple-choice rows run end-to-end through the batched
+    eval loop (prompt packs options; scorer runs on the predictions)."""
+    from PIL import Image
+
+    from omnimamba_tpu.models.omnimamba import init_omnimamba
+
+    model = tiny_model()
+    params = init_omnimamba(jax.random.PRNGKey(0), model)
+    tok = OfflineTokenizer(base_vocab=49)
+    uni = UniversalPrompting(tok)
+    model = model._replace(
+        sptids={k: v % model.cfg.vocab_size for k, v in uni.sptids_dict.items()}
+    )
+    Image.fromarray(
+        (np.random.default_rng(0).random((28, 28, 3)) * 255).astype(np.uint8)
+    ).save(tmp_path / "img.png")
+    rows = [
+        {"image": "img.png", "question": f"Which shape? ({i})",
+         "options": ["circle", "square"], "answer": "AB"[i % 2]}
+        for i in range(3)
+    ]
+    out = run_vqa_eval(
+        params, model, uni, rows, image_root=str(tmp_path),
+        max_new_tokens=4, dtype=jnp.float32, batch_size=2,
+        multiple_choice=True,
+    )
+    assert len(out) == 3 and all("prediction" in r for r in out)
+    s = score_manifest(out, "mmmu")
+    assert set(s) == {"accuracy", "parse_rate", "total"}
+
+
+def test_vqa_eval_cross_batch_feature_cache(tmp_path, monkeypatch):
+    """An image already featurized in an earlier batch must NOT hit the ViT
+    again, and cached features must give identical predictions."""
+    from PIL import Image
+
+    import omnimamba_tpu.models.omnimamba as om
+
+    model = tiny_model()
+    params = om.init_omnimamba(jax.random.PRNGKey(0), model)
+    tok = OfflineTokenizer(base_vocab=49)
+    uni = UniversalPrompting(tok)
+    model = model._replace(
+        sptids={k: v % model.cfg.vocab_size for k, v in uni.sptids_dict.items()}
+    )
+    for i in range(2):
+        Image.fromarray(
+            (np.random.default_rng(i).random((28, 28, 3)) * 255).astype(np.uint8)
+        ).save(tmp_path / f"img{i}.png")
+
+    # 6 rows over 2 images, batch_size=2 -> 3 batches; only batch 0 should
+    # featurize (both images fit in one ViT call group by group)
+    rows = [{"image": f"img{i % 2}.png", "question": f"q {i}", "answer": "x"}
+            for i in range(6)]
+    calls = {"n": 0}
+    real = om.mmu_image_features
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(om, "mmu_image_features", counting)
+    kw = dict(image_root=str(tmp_path), max_new_tokens=4,
+              dtype=jnp.float32, batch_size=2)
+    out = run_vqa_eval(params, model, uni, rows, **kw)
+    assert calls["n"] == 1  # batches 2 and 3 served from the cache
+    # cache-off equivalence: tiny cache that can't span batches
+    monkeypatch.setattr(om, "mmu_image_features", real)
+    out_nocache = run_vqa_eval(params, model, uni, rows,
+                               feature_cache_images=0, **kw)
+    assert [r["prediction"] for r in out] == [r["prediction"] for r in out_nocache]
+
+
 def test_vqa_eval_unique_image_dedup(tmp_path):
     """Rows sharing an image must get the same predictions as the same
     questions over distinct (identical-content) image files — the

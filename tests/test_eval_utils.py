@@ -101,3 +101,39 @@ def test_fidelity_pack_roundtrip_and_divergence(tmp_path):
     bad_emb = embed_text(bad, ids, jnp.float32)
     rep2 = compare_to_pack(bad, cfg, loaded, bad_emb)
     assert not rep2["logits_close"]
+
+
+def test_compare_to_pack_teacher_forces_recorded_stream(tmp_path):
+    """Logit deltas must be computed under the PACK's prefix, not our own
+    greedy continuation: a pack whose stream diverges from our argmax at
+    the first generated position must still report logits_close when the
+    model numerics are identical (prefix divergence != numeric divergence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from omnimamba_tpu.eval.fidelity import (
+        FidelityPack, compare_to_pack, record_pack, teacher_forced_logits,
+    )
+    from omnimamba_tpu.models.backbone import embed_text, init_backbone
+    from tests.test_backbone import tiny_config
+
+    cfg = tiny_config()
+    params = init_backbone(jax.random.PRNGKey(3), cfg)
+    ids = jnp.arange(5, dtype=jnp.int32)[None]
+    emb = embed_text(params, ids, jnp.float32)
+    pack = record_pack(params, cfg, ids, emb, "mmu", 15, k_logits=4)
+
+    # force the recorded stream off our greedy path right after the prompt
+    # (as if the producer had sampled), and re-record its logits under that
+    # stream — a numerics-identical model must match them exactly
+    mutated = np.array(pack.stream)
+    L0 = ids.shape[1]
+    mutated[0, L0] = (mutated[0, L0] + 1) % cfg.vocab_size
+    mut_logits = teacher_forced_logits(
+        params, cfg, emb, mutated, L0, pack.logits.shape[1], "mmu")
+    mut_pack = FidelityPack("mmu", pack.prompt_ids, mutated, mut_logits, {})
+
+    rep = compare_to_pack(params, cfg, mut_pack, emb)
+    assert not rep["stream"].match  # greedy argmax disagrees with the pack
+    assert rep["logits_close"]  # ...but numerics match under its prefix
+    assert float(rep["max_logit_delta"].max()) < 1e-5

@@ -23,6 +23,64 @@ def test_pool3_shape_and_finite():
     assert np.isfinite(np.asarray(feats)).all()
 
 
+def test_variants_differ_only_in_pooling():
+    """'fid' (pytorch-fid graph: count_include_pad=False avgs + Mixed_7c max
+    pool) vs 'torchvision' (incl-pad avgs everywhere) must both run and give
+    different features on the same weights; an unknown variant must raise."""
+    params = random_params(jax.random.PRNGKey(0))
+    imgs = np.random.default_rng(1).integers(0, 255, (1, 64, 64, 3), np.uint8)
+    x = preprocess_uint8(imgs)
+    f_fid = np.asarray(inception_pool3(params, x, variant="fid"))
+    f_tv = np.asarray(inception_pool3(params, x, variant="torchvision"))
+    assert f_fid.shape == f_tv.shape == (1, 2048)
+    assert np.isfinite(f_fid).all() and np.isfinite(f_tv).all()
+    assert np.abs(f_fid - f_tv).max() > 0  # pooling choice must matter
+    import pytest
+
+    with pytest.raises(ValueError):
+        inception_pool3(params, x, variant="bogus")
+
+
+def test_feature_loader_detects_fid_weights(tmp_path):
+    """inception_features auto-detects pytorch-fid weights by the 1008-class
+    fc and selects the 'fid' graph; torchvision-shaped fc warns + selects
+    'torchvision'."""
+    import warnings
+
+    import torch
+
+    from omnimamba_tpu.eval.inception import inception_features
+
+    # minimal single-conv state dict + fc marker (graph will fail on a full
+    # forward, so only check variant selection via the emitted warning)
+    rng = np.random.default_rng(0)
+
+    def make_state(fc_rows):
+        state = {}
+        for base, (cin, cout, k) in {"Conv2d_1a_3x3": (3, 32, 3)}.items():
+            state[f"{base}.conv.weight"] = torch.tensor(
+                rng.standard_normal((cout, cin, k, k)).astype(np.float32))
+            state[f"{base}.bn.weight"] = torch.ones(cout)
+            state[f"{base}.bn.bias"] = torch.zeros(cout)
+            state[f"{base}.bn.running_mean"] = torch.zeros(cout)
+            state[f"{base}.bn.running_var"] = torch.ones(cout)
+        state["fc.weight"] = torch.zeros((fc_rows, 2048))
+        return state
+
+    p_fid = tmp_path / "fid.pth"
+    torch.save(make_state(1008), p_fid)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no approx-comparability warning
+        inception_features(str(p_fid))
+
+    p_tv = tmp_path / "tv.pth"
+    torch.save(make_state(1000), p_tv)
+    import pytest
+
+    with pytest.warns(UserWarning, match="approximately comparable"):
+        inception_features(str(p_tv))
+
+
 def test_converter_folds_bn():
     """convert_torch_inception: OIHW->HWIO + BN fold, checked numerically
     against an explicit conv+BN on a single BasicConv2d."""
