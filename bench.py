@@ -1,13 +1,17 @@
 """Benchmark: OmniMamba-1.3B T2I serving throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline metric, plus an "extra" dict carrying the other driver-visible
+axes (CFG T2I img/s, MMU batched + single-stream tok/s) so round-over-round
+regressions on the weak axes are visible in BENCH_r*.json, not just stderr.
 Baseline target (BASELINE.md): >= 5 images/sec/chip @256px (16x16 VQ grid).
 
 The measured pipeline is the full T2I path of scripts/inference_t2i.py:
 72-token caption prefill -> 256 greedy decode steps through all 48 layers
 (one jitted while_loop, constant-memory recurrent state) -> VQ-16 decode to
 256px. Random weights (zero-egress env), bf16 activations, serving batch.
-Secondary numbers (MMU decode tok/s) go to stderr.
+The CFG metric runs guidance ON (scale 7.5, dual cond/uncond streams,
+top-k sampling, one draw per image) — the honest quality-mode throughput.
 """
 
 from __future__ import annotations
@@ -121,7 +125,8 @@ def main():
     t0 = time.time()
     imgs = gen(qparams, text_ids)
     sync(imgs)
-    log(f"T2I int8: {B/(time.time()-t0):.2f} img/s/chip (batch {B})")
+    ips_q = B / (time.time() - t0)
+    log(f"T2I int8: {ips_q:.2f} img/s/chip (batch {B})")
 
     emb_q = embed_text(qparams["mamba"], ids, jnp.bfloat16)
     out = mmu(qparams["mamba"], ids, emb_q)
@@ -147,7 +152,8 @@ def main():
     t0 = time.time()
     out = mmu1(qparams["mamba"], ids1, emb1)
     sync(out)
-    log(f"MMU decode single-stream int8: {T/(time.time()-t0):.0f} tok/s")
+    tps_1 = T / (time.time() - t0)
+    log(f"MMU decode single-stream int8: {tps_1:.0f} tok/s")
 
     # best-known serving config: B=96, int8 weights + bf16 SSM state
     # (sweep: 2990 at 64, 3067 at 96, 2079 at 128 — HBM pressure past 96)
@@ -166,8 +172,31 @@ def main():
     t0 = time.time()
     out = mmu_best(qparams["mamba"], ids2, emb2)
     sync(out)
-    log(f"MMU decode best (B={B2}, int8+bf16-state): "
-        f"{B2 * T / (time.time() - t0):.0f} tok/s/chip")
+    tps_best = B2 * T / (time.time() - t0)
+    log(f"MMU decode best (B={B2}, int8+bf16-state): {tps_best:.0f} tok/s/chip")
+
+    # CFG T2I: guidance ON (scale 7.5, [cond; uncond] dual streams, top-k
+    # sampling with one draw per image), int8 weights — the quality-mode
+    # serving config. BASELINE gate reads "CFG-capable sampler, >=5 img/s".
+    n_cfg = 48
+    cond = rng.integers(0, cfg.vocab_size, (n_cfg, 72))
+    ids_cfg = jnp.asarray(
+        np.concatenate([cond, np.tile(cond[:1], (n_cfg, 1))]), jnp.int32
+    )
+    gen_cfg = jax.jit(
+        lambda p, i: t2i_generate(
+            p, model, i, cfg_scale=7.5,
+            sample=SampleParams(top_k=2, temperature=1.0),
+            key=jax.random.PRNGKey(0), decode_image=True,
+        )[0]
+    )
+    imgs = gen_cfg(qparams, ids_cfg)
+    sync(imgs)
+    t0 = time.time()
+    imgs = gen_cfg(qparams, ids_cfg)
+    sync(imgs)
+    ips_cfg = n_cfg / (time.time() - t0)
+    log(f"T2I CFG 7.5 dual-stream int8: {ips_cfg:.2f} img/s/chip ({n_cfg} imgs)")
 
     print(
         json.dumps(
@@ -176,6 +205,13 @@ def main():
                 "value": round(ips, 3),
                 "unit": "img/s",
                 "vs_baseline": round(ips / 5.0, 3),
+                "extra": {
+                    "t2i_cfg_images_per_sec": round(ips_cfg, 3),
+                    "t2i_int8_images_per_sec": round(ips_q, 3),
+                    "mmu_tok_per_sec_b48_int8": round(tps_q, 1),
+                    "mmu_tok_per_sec_best": round(tps_best, 1),
+                    "mmu_tok_per_sec_b1_int8": round(tps_1, 1),
+                },
             }
         )
     )

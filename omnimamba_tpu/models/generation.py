@@ -165,6 +165,11 @@ def generate(
     def body_fn(s: _LoopState):
         key, sub = jax.random.split(s.key)
         tok = sample_token(sub, s.logits, sample)  # (B,)
+        if cfg_scale is not None:
+            # one draw per IMAGE: sample from the cond half's (mixed) logits
+            # and feed the same token to both streams — independent per-row
+            # noise would silently desynchronize the uncond stream
+            tok = jnp.concatenate([tok[: B // 2], tok[: B // 2]])
         if teacher_outputs is not None:
             # teacher indexed by absolute position L0+n (generation.py:218)
             t_tok = jax.vmap(lambda row: row[L0 + s.n])(teacher_outputs)

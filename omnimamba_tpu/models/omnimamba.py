@@ -269,17 +269,31 @@ def t2i_generate(
     decode_image: bool = True,
     scan_impl: str = "auto",
     cache_dtype="auto",
+    text_lengths: Optional[jax.Array] = None,  # (B,) ragged true caption-block lens
 ):
     """Caption ids -> 256 VQ tokens -> image (reference omnimamba.py:311-337).
 
     With ``cfg_scale``, text_ids must be packed [cond; uncond] along batch.
     Returns (images (B,256,256,3) | None, tokens (B,256)).
+
+    ``text_lengths`` (B,): ragged batching for RAW (un-left-padded) caption
+    blocks — text_ids right-padded to a bucket, row i's true block is its
+    first text_lengths[i] ids. Each row's stream is exactly its B=1 stream.
+    The reference's fixed 72-id block (inference_t2i.py:30-45) is the
+    text_lengths=None case; ragged rows skip the left-pad context entirely,
+    an extension for mixed-length serving. Incompatible with cfg_scale
+    (generation.py ragged contract).
     """
     cfg = model.cfg
     emb = embed_text(params["mamba"], text_ids, dtype)
     emb = caption_embed(params["mamba"], emb)
     L0 = emb.shape[1]
     emb = emb + params["mamba"]["pos_embed"][:, :L0].astype(dtype)
+    if text_lengths is not None:
+        assert cfg_scale is None, "ragged t2i composes with plain sampling only"
+        # decode positions are ragged, so the 256 image tokens of row i sit
+        # at pos_embed[text_lengths[i] + t] exactly as in its solo run
+        text_lengths = jnp.asarray(text_lengths, jnp.int32)
 
     out = generate(
         params["mamba"],
@@ -293,6 +307,7 @@ def t2i_generate(
         cfg_scale=cfg_scale,
         scan_impl=scan_impl,
         cache_dtype=cache_dtype,
+        prompt_lengths=text_lengths,
     )
     tokens = out.sequences[:, L0:]
     if cfg_scale is not None:

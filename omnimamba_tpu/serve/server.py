@@ -13,7 +13,16 @@ L7); serving is a first-class goal of this framework. Design:
     POST /v1/t2i {"prompt": str}                  -> {"image_png_b64": ...}
     POST /v1/mmu {"image_png_b64": str, "question": str} -> {"text": ...}
     GET  /healthz
-- max_wait_ms bounds tail latency when traffic is sparse.
+- max_wait_ms bounds tail latency when traffic is sparse;
+- t2i requests may set {"raw_caption": true} to skip the reference's fixed
+  68-token left-pad block: the batch packs variable-length caption blocks
+  right-padded with per-row ``text_lengths`` (ragged decode — each row's
+  stream is exactly its solo stream);
+- mmu requests may set {"low_latency": true} to route through a dedicated
+  single-stream SPECULATIVE lane (prompt-lookup ngram drafts, greedy,
+  stream-identical) when it is idle — QoS fallback sends the request to the
+  ordinary batcher whenever the lane is busy, so worst-case latency is
+  bounded by the batch path.
 """
 
 from __future__ import annotations
@@ -116,12 +125,22 @@ class OmniMambaService:
 
         sp = self.uni.sptids_dict
         n_real = len(payloads)
-        prompts = [p.get("prompt", "") for p in payloads]
-        while len(prompts) < self.t2i_batch:
-            prompts.append(prompts[-1])
+        rows = list(payloads)
+        while len(rows) < self.t2i_batch:
+            rows.append(rows[-1])
 
-        def block(caption):
-            ids = np.asarray(self.uni.text_tokenizer(caption)["input_ids"], np.int64)
+        def block(p):
+            ids = np.asarray(
+                self.uni.text_tokenizer(p.get("prompt", ""))["input_ids"], np.int64
+            )
+            if p.get("raw_caption", False):
+                # ragged raw-caption mode: un-left-padded block, decoded at
+                # its own true length (an extension beyond the reference's
+                # fixed 72-id block, inference_t2i.py:30-45)
+                return np.concatenate(
+                    [[sp["<|t2i|>"], sp["<|sot|>"]],
+                     ids[:MAX_CAPTION_TOKENS], [sp["<|eot|>"], sp["<|soi|>"]]]
+                )
             pad = np.full(MAX_CAPTION_TOKENS, self.uni.pad_id, np.int64)
             n = min(len(ids), MAX_CAPTION_TOKENS)
             if n:
@@ -130,7 +149,22 @@ class OmniMambaService:
                 [[sp["<|t2i|>"], sp["<|sot|>"]], pad, [sp["<|eot|>"], sp["<|soi|>"]]]
             )
 
-        text_ids = jnp.asarray(np.stack([block(p) for p in prompts]), jnp.int32)
+        blocks = [block(p) for p in rows]
+        text_lengths = None
+        if any(p.get("raw_caption", False) for p in rows):
+            # mixed batches decode ragged: fixed-block rows keep exact
+            # reference semantics (their length covers the whole block)
+            lens = np.asarray([len(b) for b in blocks], np.int32)
+            # bucket to a multiple of 8 so the fleet compiles few programs
+            L0 = int(-(-max(int(lens.max()), 8) // 8) * 8)
+            arr = np.full((len(blocks), L0), int(self.uni.pad_id), np.int64)
+            for i, b in enumerate(blocks):
+                arr[i, : len(b)] = b
+            blocks = arr
+            text_lengths = jnp.asarray(lens)
+        else:
+            blocks = np.stack(blocks)
+        text_ids = jnp.asarray(blocks, jnp.int32)
         top_k = int(payloads[0].get("top_k", 1))
         imgs, _ = t2i_generate(
             self.params, self.model, text_ids,
@@ -140,6 +174,7 @@ class OmniMambaService:
             ),
             key=jax.random.PRNGKey(int(self._seed.integers(1 << 31))),
             dtype=self.dtype, cache_dtype=self.cache_dtype,
+            text_lengths=text_lengths,
         )
         arr = np.asarray(from_vq_range(imgs))[:n_real]
         out = []
@@ -210,16 +245,68 @@ class OmniMambaService:
         return out
 
 
+    # --- mmu low-latency speculative lane ----------------------------------
+    def mmu_single_fn(self, payloads: List[Dict]) -> List[Dict]:
+        """Single-stream greedy decode with prompt-lookup (ngram) speculative
+        drafts — stream-identical to the plain path, lower latency when the
+        answer echoes the prompt. B=1, exact prompt length (one compiled
+        program per length bucket lives in the persistent cache)."""
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from omnimamba_tpu.data.conversation import conv_templates
+        from omnimamba_tpu.data.transforms import dinosiglip_transform
+        from omnimamba_tpu.models.omnimamba import mmu_generate, mmu_image_features
+
+        assert len(payloads) == 1
+        p = payloads[0]
+        sp = self.model.sptids
+        eos = int(self.uni.text_tokenizer.eos_token_id)
+        img = Image.open(io.BytesIO(base64.b64decode(p["image_png_b64"]))).convert("RGB")
+        side = self.model.vision_cfg.dino.img_size
+        raw = np.asarray(img.resize((side, side)), np.uint8)[None]
+        conv = conv_templates["phi1.5"].copy()
+        conv.append_message(conv.roles[0], p.get("question", "Describe the image."))
+        conv.append_message(conv.roles[1], None)
+        ids = list(self.uni.text_tokenizer(conv.get_prompt().strip())["input_ids"])
+        ids = [sp["<|mmu|>"], sp["<|soi|>"], sp["<|eoi|>"], sp["<|sot|>"]] + ids
+
+        pix = dinosiglip_transform(jnp.asarray(raw), self.model.vision_cfg)
+        feats = mmu_image_features(self.params, self.model, pix)
+        ids_arr = jnp.asarray(np.asarray(ids, np.int32)[None])
+        total = len(ids) + feats.shape[1]
+        gen = mmu_generate(
+            self.params, self.model, ids_arr, feats,
+            max_length=total + self.mmu_max_new,
+            eos_token_id=eos, dtype=self.dtype, cache_dtype=self.cache_dtype,
+            draft_mode="ngram",
+        )
+        n = int(gen.num_generated)
+        toks = np.asarray(gen.sequences)[0, total:][:n]
+        if eos in toks.tolist():
+            toks = toks[: toks.tolist().index(eos)]
+        return [{
+            "text": self.uni.text_tokenizer.decode(toks, skip_special_tokens=True),
+            "lane": "speculative",
+        }]
+
+
 def make_server(
     service: OmniMambaService,
     host: str = "0.0.0.0",
     port: int = 8000,
     max_wait_ms: float = 20.0,
+    speculative_lane: bool = True,
 ) -> ThreadingHTTPServer:
     t2i_batcher = _Batcher("t2i", service.t2i_batch_fn, service.t2i_batch, max_wait_ms)
     mmu_batcher = _Batcher("mmu", service.mmu_batch_fn, service.mmu_batch, max_wait_ms)
     t2i_batcher.start()
     mmu_batcher.start()
+    spec_lane = None
+    if speculative_lane:
+        # dedicated single-stream lane: max_batch=1, no batching wait
+        spec_lane = _Batcher("mmu-spec", service.mmu_single_fn, 1, 0.0)
+        spec_lane.start()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -246,7 +333,17 @@ def make_server(
                 if self.path == "/v1/t2i":
                     self._json(200, t2i_batcher.submit(payload))
                 elif self.path == "/v1/mmu":
-                    self._json(200, mmu_batcher.submit(payload))
+                    # QoS routing: low_latency requests take the speculative
+                    # single-stream lane only when it is IDLE — otherwise
+                    # fall back to the batcher so worst-case latency stays
+                    # bounded by the batch path
+                    use_lane = (
+                        spec_lane is not None
+                        and payload.get("low_latency", False)
+                        and spec_lane.queue.empty()
+                    )
+                    worker = spec_lane if use_lane else mmu_batcher
+                    self._json(200, worker.submit(payload))
                 else:
                     self._json(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001
@@ -255,4 +352,5 @@ def make_server(
     server = ThreadingHTTPServer((host, port), Handler)
     server.t2i_batcher = t2i_batcher  # type: ignore[attr-defined]
     server.mmu_batcher = mmu_batcher  # type: ignore[attr-defined]
+    server.spec_lane = spec_lane  # type: ignore[attr-defined]
     return server

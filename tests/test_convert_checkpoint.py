@@ -96,19 +96,9 @@ def test_mamba_conversion_structure_and_fusion():
     )
 
 
-def test_vq_conversion_structure():
-    from tests.test_vq import small_cfg
-
-    cfg = small_cfg()
-    params_init = init_vq(jax.random.PRNGKey(0), cfg)
-
-    # synthesize reference-named dict from our init by inverting the mapping
-    rng = np.random.default_rng(1)
-
-    def synth_from(shape_tree):
-        return jax.tree.map(lambda x: rng.normal(size=x.shape).astype(np.float32), shape_tree)
-
-    # build torch-style names for the tiny cfg directly
+def reference_style_vq_state_dict(cfg, rng) -> dict:
+    """Synthetic VQModel state dict with the reference's exact names/shapes
+    (vq_model.py layout), for converter structure + numerics tests."""
     sd = {}
 
     def put_conv(name, cin, cout, k):
@@ -176,7 +166,15 @@ def test_vq_conversion_structure():
         size=(cfg.codebook_size, cfg.codebook_embed_dim)
     ).astype(np.float32)
     sd["quantize.codebook_used"] = np.zeros(65536, np.float32)  # must be dropped
+    return sd
 
+
+def test_vq_conversion_structure():
+    from tests.test_vq import small_cfg
+
+    cfg = small_cfg()
+    params_init = init_vq(jax.random.PRNGKey(0), cfg)
+    sd = reference_style_vq_state_dict(cfg, np.random.default_rng(1))
     params = convert_vq(sd, cfg)
     ref_shapes = jax.tree.map(lambda x: tuple(x.shape), params_init)
     got_shapes = jax.tree.map(lambda x: tuple(np.asarray(x).shape), params)

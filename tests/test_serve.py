@@ -116,6 +116,44 @@ def test_concurrent_mixed_endpoints(server):
     assert "image_png_b64" in results["t2i"] and "text" in results["mmu"]
 
 
+def test_t2i_raw_caption_ragged(server):
+    """raw_caption requests decode ragged (un-left-padded blocks); a mixed
+    batch with a fixed-block request serves both correctly."""
+    import concurrent.futures
+
+    from PIL import Image
+
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        futs = [
+            ex.submit(_post, server + "/v1/t2i",
+                      {"prompt": "a short cat", "raw_caption": True}),
+            ex.submit(_post, server + "/v1/t2i", {"prompt": "a padded dog"}),
+        ]
+        results = [f.result(timeout=300) for f in futs]
+    for res in results:
+        img = Image.open(io.BytesIO(base64.b64decode(res["image_png_b64"])))
+        assert img.size == (8, 8)
+
+
+def test_mmu_low_latency_speculative_lane(server):
+    """low_latency requests route through the single-stream speculative
+    lane when idle (response tagged lane=speculative) and the answer
+    matches the batch path's greedy stream exactly."""
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.random.default_rng(2).random((28, 28, 3)) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    img = base64.b64encode(buf.getvalue()).decode()
+    q = {"image_png_b64": img, "question": "what is here"}
+
+    plain = _post(server + "/v1/mmu", q)
+    fast = _post(server + "/v1/mmu", {**q, "low_latency": True})
+    assert fast.get("lane") == "speculative"
+    assert fast["text"] == plain["text"]  # stream-identical speculative decode
+
+
 def test_mmu_ragged_batch_matches_solo(server):
     """Two different-length questions served concurrently (one ragged
     batch) must answer exactly as when served alone — padding must not
