@@ -116,10 +116,13 @@ def main():
     tps = B * T / dt_mmu
     log(f"MMU decode: {tps:.0f} tok/s/chip (batch {B}, target >=1000)")
 
-    # secondary: int8 weight-only serving path (T2I + MMU)
-    from omnimamba_tpu.ops.quant import quantize_decode_params
+    # secondary: int8 weight-only serving path (T2I + MMU). fuse_in_proj
+    # collapses the four in_proj column-slice matmuls into one operand per
+    # layer (serving-only; numerics-identical, tests/test_quant.py) —
+    # fewer dispatches per decode step.
+    from omnimamba_tpu.ops.quant import fuse_in_proj, quantize_decode_params
 
-    qparams = quantize_decode_params(params)
+    qparams = fuse_in_proj(quantize_decode_params(params))
     imgs = gen(qparams, text_ids)
     sync(imgs)
     t0 = time.time()

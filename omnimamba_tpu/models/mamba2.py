@@ -165,8 +165,23 @@ def _project_parts(
     dropout_key: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """in_proj (+task LoRA) producing the {z, x, bc, dt} column slices of the
-    reference's fused projection."""
-    out = {part: matmul_any(x, params["in_proj"][part]) for part in _PARTS}
+    reference's fused projection.
+
+    A params tree prepared with ``ops.quant.fuse_in_proj`` carries ONE
+    concatenated operand under in_proj["fused"] (decode fast path: one
+    matmul dispatch instead of four; column order z|x|bc|dt)."""
+    ip = params["in_proj"]
+    if "fused" in ip:
+        full = matmul_any(x, ip["fused"])
+        di, gn2 = cfg.d_inner, 2 * cfg.ngroups * cfg.d_state
+        out = {
+            "z": full[..., :di],
+            "x": full[..., di : 2 * di],
+            "bc": full[..., 2 * di : 2 * di + gn2],
+            "dt": full[..., 2 * di + gn2 :],
+        }
+    else:
+        out = {part: matmul_any(x, ip[part]) for part in _PARTS}
     if task is not None and "lora" in params and lora_cfg is not None:
         lp = params["lora"]
         xl = x

@@ -153,3 +153,56 @@ def quantize_decode_params(params: Dict) -> Dict:
         return leaf
 
     return walk(params)
+
+
+def fuse_in_proj(params: Dict) -> Dict:
+    """Serving-only transform: concatenate each layer's four in_proj column
+    slices (z|x|bc|dt — the reference's fused matrix order,
+    mixer_seq_simple.py in_proj) back into ONE matmul operand.
+
+    The split storage exists so 'tp' can head-shard the parts
+    (parallel/sharding.py); for single-host DECODE it costs four matmul
+    dispatches per layer where one suffices — at B=1 the per-op overhead of
+    the 48-layer scan is the dominant tax over the weight-bandwidth floor.
+    Works on dense kernels and int8 {"q","scale"} entries (scales are
+    per-output-column, so concatenation is exact). Memory-neutral: the part
+    entries are REPLACED by the fused entry.
+
+    Returns a new params tree; accepts either the backbone tree or the
+    {"mamba": ...} wrapper. Heterogeneous (list) layer stacks are fused
+    per layer.
+    """
+
+    def fuse_entry(ip: Dict) -> Dict:
+        parts = ("z", "x", "bc", "dt")
+        entries = [ip[p] for p in parts]
+        if all(isinstance(e, dict) and "q" in e for e in entries):
+            fused = {
+                "q": jnp.concatenate([e["q"] for e in entries], axis=-1),
+                "scale": jnp.concatenate([e["scale"] for e in entries], axis=-1),
+            }
+        else:
+            arrs = [
+                e["kernel"] if isinstance(e, dict) and "kernel" in e else e
+                for e in entries
+            ]
+            fused = jnp.concatenate(arrs, axis=-1)
+        return {"fused": fused}
+
+    def fuse_layer(layer: Dict) -> Dict:
+        mixer = dict(layer["mixer"])
+        if "in_proj" in mixer and "z" in mixer["in_proj"]:
+            mixer["in_proj"] = fuse_entry(mixer["in_proj"])
+        return {**layer, "mixer": mixer}
+
+    out = dict(params)
+    tree = out
+    if "mamba" in out and isinstance(out["mamba"], dict):
+        out["mamba"] = dict(out["mamba"])
+        tree = out["mamba"]
+    layers = tree.get("layers")
+    if isinstance(layers, (list, tuple)):
+        tree["layers"] = type(layers)(fuse_layer(l) for l in layers)
+    elif isinstance(layers, dict):
+        tree["layers"] = fuse_layer(layers)
+    return out

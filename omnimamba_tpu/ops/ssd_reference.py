@@ -85,6 +85,25 @@ def ssd_step(
     ``selective_state_update`` (SURVEY §2.3 row 1, decode path).
 
     Returns (y_t (B,H,P) in x dtype, new_state fp32).
+
+    At serving batches (B >= 16) the contraction is DISTRIBUTED over the
+    update (exact algebra):
+
+        y = (s·decay + dtx⊗B)·C  =  decay·(s·C) + dtx·(B·C)
+
+    so the state tensor — the dominant HBM traffic of batched decode — is
+    consumed by ONE multi-output XLA fusion (y's reduction reads ``s``
+    directly instead of the materialized new_state): measured 351 vs
+    482 us/layer-step at B=96 on v5e (70% vs 51% of the state r+w floor;
+    a fused Pallas step kernel topped out slower than either — VPU
+    cross-lane reduction cost, ops/ssd_step_pallas.py — and a plain Pallas
+    copy of the same bytes runs at 69%, so 70% is the practical ceiling).
+    End-to-end r3: MMU B=96 3067 -> 3533 tok/s, T2I B=48 10.1 -> 10.9
+    img/s. At SMALL batch the state is not the bottleneck and the extra
+    fusion costs dispatch time (B=1 int8: 284 -> 194 tok/s measured), so
+    the naive single-expression form is kept below B=16. new_state is
+    bit-identical between forms; y differs only in summation order
+    (bf16-ulp scale).
     """
     Bsz, H, P = x_t.shape
     G = B_t.shape[1]
@@ -95,9 +114,18 @@ def ssd_step(
     xf = x_t.astype(jnp.float32)
 
     decay = jnp.exp(dtf * A.astype(jnp.float32))  # (B,H)
-    dBx = jnp.einsum("bhp,bhn->bhpn", dtf[..., None] * xf, Bf)
-    new_state = state.astype(jnp.float32) * decay[..., None, None] + dBx
-    y = jnp.einsum("bhpn,bhn->bhp", new_state, Cf)
+    dtx = dtf[..., None] * xf  # (B,H,P)
+    sf = state.astype(jnp.float32)
+    if Bsz >= 16:  # static under jit: one compiled branch
+        sC = jnp.einsum("bhpn,bhn->bhp", sf, Cf)
+        BC = jnp.einsum("bhn,bhn->bh", Bf, Cf)
+        y = decay[..., None] * sC + dtx * BC[..., None]
+        new_state = sf * decay[..., None, None] + jnp.einsum(
+            "bhp,bhn->bhpn", dtx, Bf)
+    else:
+        new_state = sf * decay[..., None, None] + jnp.einsum(
+            "bhp,bhn->bhpn", dtx, Bf)
+        y = jnp.einsum("bhpn,bhn->bhp", new_state, Cf)
     if D is not None:
         y = y + xf * D.astype(jnp.float32)[None, :, None]
     # state dtype follows the carried cache (fp32 default; bf16 halves the

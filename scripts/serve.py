@@ -57,6 +57,11 @@ def main():
 
         params = quantize_decode_params(params)
         print("[serve] int8 weight-only quantization on")
+    # single-host serving: collapse the 4 in_proj column-slice matmuls into
+    # one operand per layer (numerics-identical; fewer decode dispatches)
+    from omnimamba_tpu.ops.quant import fuse_in_proj
+
+    params = fuse_in_proj(params)
 
     import jax.numpy as jnp2
 

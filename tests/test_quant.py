@@ -89,3 +89,38 @@ def test_quantized_params_shard_and_generate():
         scan_impl="chunked",
     )
     assert out.sequences.shape == (1, 12)
+
+
+def test_fuse_in_proj_matches_split():
+    """fuse_in_proj (one concatenated in_proj operand, z|x|bc|dt order) must
+    be numerically identical to the split form, dense and int8, forward and
+    decode step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from omnimamba_tpu.models.backbone import (
+        backbone_forward, backbone_step, embed_text, init_backbone,
+    )
+    from omnimamba_tpu.ops.quant import fuse_in_proj, quantize_decode_params
+    from tests.test_backbone import tiny_config
+
+    cfg = tiny_config()
+    params = init_backbone(jax.random.PRNGKey(2), cfg)
+    ids = jnp.arange(6, dtype=jnp.int32)[None]
+    emb = embed_text(params, ids, jnp.float32)
+
+    for base in (params, quantize_decode_params({"mamba": params})["mamba"]):
+        fused = fuse_in_proj(base)
+        assert "fused" in fused["layers"]["mixer"]["in_proj"]
+        h0, c0 = backbone_forward(base, emb, "mmu", cfg, return_cache=True)
+        h1, c1 = backbone_forward(fused, emb, "mmu", cfg, return_cache=True)
+        np.testing.assert_allclose(
+            np.asarray(h1), np.asarray(h0), rtol=1e-5, atol=1e-5)
+        tok = jnp.asarray([3], jnp.int32)
+        s0, _ = backbone_step(base, tok, jnp.int32(6), c0, "mmu", cfg,
+                              dtype=jnp.float32)
+        s1, _ = backbone_step(fused, tok, jnp.int32(6), c1, "mmu", cfg,
+                              dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s0), rtol=1e-5, atol=1e-5)
