@@ -44,6 +44,12 @@ class Mamba2LayerConfig:
     headdim: int = 64
     ngroups: int = 1
     chunk_size: int = 256
+    # backward-kernel head tile override (None = kernel default: largest
+    # divisor of nheads/ngroups <= 64). Larger tiles amortize the shared
+    # score matmuls + the batched suffix-sum dot over more heads per grid
+    # step; on v5e at the 1.3B shape ht=64 beats ht=16 by ~40% bwd-only
+    # (scripts/profile_train.py ssd sweep, round 3).
+    bwd_head_tile: Optional[int] = None
     norm_eps: float = 1e-5
     conv_bias: bool = True
     proj_bias: bool = False

@@ -329,7 +329,7 @@ def mamba2_forward(
         from omnimamba_tpu.ops.ssd_pallas_bwd import ssd_pallas_ad
 
         y, final_state = ssd_pallas_ad(
-            xh, dt, A, Bh, Ch, params["D"], q, None, None
+            xh, dt, A, Bh, Ch, params["D"], q, cfg.bwd_head_tile, None
         )
     else:
         raise ValueError(f"unknown scan_impl {scan_impl}")

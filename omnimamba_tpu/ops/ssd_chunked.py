@@ -79,6 +79,13 @@ def ssd_chunked(
     sj = s[:, :, None, :, :]  # (B,C,1,Q,H) -> j index at axis 3
     diff = jnp.moveaxis(si - sj, -1, 2)  # (B,C,H,Q,Q)
     mask = jnp.tril(jnp.ones((Q, Q), dtype=bool))
+    # Mask BEFORE the exp: above the diagonal diff = s_i - s_j >= 0 grows
+    # with the masked-out span (hundreds at Q=256), so exp overflows to inf
+    # there. The forward's where() hides that, but the autodiff backward
+    # forms d(exp)=exp(diff)*cotangent = inf*0 = NaN at masked positions
+    # (observed on TPU at L=329: NaN ddt/dA through this line). Clamping
+    # the masked lanes to 0 keeps exp bounded (diff <= 0 under the mask).
+    diff = jnp.where(mask[None, None, None], diff, 0.0)
     decay = jnp.where(mask[None, None, None], jnp.exp(diff), 0.0)
     rep = H // G
     scores_h = jnp.repeat(scores, rep, axis=2)  # (B,C,H,Q,Q)

@@ -104,8 +104,6 @@ def _ssd_bwd_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)  # t (target)
     col = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)  # j (source)
     mask = (row >= col).astype(jnp.float32)  # [t >= j]
-    ones_q = jnp.ones((Q, 1), jnp.float32)
-    ones_p = jnp.ones((x_ref.shape[2], 1), jnp.float32)
 
     # scores_tj = C_t · B_j — shared across the group's tiles (ngroups=1 in
     # every shipped config), so compute once per (batch, chunk, group)
@@ -121,19 +119,14 @@ def _ssd_bwd_kernel(
     head0 = t * hb
     dB_acc = jnp.zeros((Q, Bmx.shape[1]), jnp.float32)
     dC_acc = jnp.zeros((Q, Cmx.shape[1]), jnp.float32)
-    ddt_cols = []
-    da_cols = []
-    gx_cols = []
+    r_cols = []  # (Q, 1) per head: dL/ds decay-cotangent rows
+    bias_vals = []  # scalar per head: Σχ + v
+    A_vals = []
+    ksum_cols = []  # (Q,) per head: Σ_p x ∘ K
+    gx_cols = []  # (Q,) per head: Σ_p g ∘ x
 
     B32 = Bmx.astype(jnp.float32)
     C32 = Cmx.astype(jnp.float32)
-
-    def csum(M):  # contract dim 0 with ones -> (cols, 1) column vector
-        return jax.lax.dot_general(
-            M, ones_p if M.shape[0] == ones_p.shape[0] else ones_q,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
     for h in range(hb):
         gh = b * heads_per_batch + head0 + h
@@ -209,17 +202,22 @@ def _ssd_bwd_kernel(
         dx_ref[0, h] = (dt_row * Kt).astype(dx_ref.dtype)
 
         # --- da: decay cotangent folded into dC/dB (see module docstring)
+        # The suffix sum Σ_{t≥k} r_t is deferred: a per-head fp32 ones-
+        # matvec on the MXU costs ~6 emulation passes at 1/128 lane use —
+        # batching all Hb heads into ONE mask@(Q,Hb) dot after the loop is
+        # ~Hb x cheaper. P-contractions are VPU sublane reductions, not dots.
         chi = jnp.sum(B32 * dB2, axis=1, keepdims=True)  # (Q, 1)
         r = jnp.sum(C32 * dC_h, axis=1, keepdims=True) - jnp.sum(
             B32 * dB_h, axis=1, keepdims=True
         )
         v = etot * jnp.sum(h_in.astype(jnp.float32) * adj)
-        da = csum(mask * r) + (jnp.sum(chi) + v)  # suffix: Σ_{t≥k} r_t
-        da_cols.append(da)
+        r_cols.append(r)
+        bias_vals.append(jnp.sum(chi) + v)
+        A_vals.append(A)
 
         # --- ddt ----------------------------------------------------------
-        ddt_cols.append(A * da + csum(xf * Kt))
-        gx_cols.append(csum(gf * xf))
+        ksum_cols.append(jnp.sum(xf * Kt, axis=0))
+        gx_cols.append(jnp.sum(gf * xf, axis=0))
 
         # --- adjoint carry to the earlier chunk ---------------------------
         adj_ref[t, h] = etot * adj + jax.lax.dot_general(
@@ -229,8 +227,17 @@ def _ssd_bwd_kernel(
             preferred_element_type=jnp.float32,
         )  # (P, N): Σ_t g_t e^{s_t} C_t
 
-    da_all = jnp.concatenate(da_cols, axis=1)  # (Q, Hb)
-    ddt_ref[0] = jnp.concatenate(ddt_cols, axis=1).astype(ddt_ref.dtype)
+    # batched suffix: da_kh = Σ_{t≥k} r_th — one fp32 (Q,Q)@(Q,Hb) dot for
+    # the whole tile instead of Hb ones-matvecs
+    r_all = jnp.concatenate(r_cols, axis=1)  # (Q, Hb)
+    suffix = jax.lax.dot_general(
+        mask, r_all, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, Hb): contract t, mask_tk = [t >= k]
+    da_all = suffix + jnp.stack(bias_vals).reshape(1, hb)  # (Q, Hb)
+    A_row = jnp.stack(A_vals).reshape(1, hb)
+    ddt_all = A_row * da_all + jnp.stack(ksum_cols, axis=1)  # (Q, Hb)
+    ddt_ref[0] = ddt_all.astype(ddt_ref.dtype)
 
     @pl.when(first_in_group)
     def _():
@@ -244,7 +251,7 @@ def _ssd_bwd_kernel(
 
     dA_ref[0, 0, 0] = jnp.sum(dtc * da_all, axis=0).astype(dA_ref.dtype)
     dD_ref[0, 0, 0] = jnp.sum(
-        jnp.concatenate(gx_cols, axis=1), axis=0
+        jnp.stack(gx_cols, axis=1), axis=0
     ).astype(dD_ref.dtype)
 
 
@@ -399,9 +406,15 @@ def _bwd(chunk_size, head_tile, interpret, res, cts):
     Bsz, L, H, P = x.shape
     G = Bmat.shape[2]
     rep = H // G
-    # default matches the forward's tiling so the chunk-states residual's
-    # tile<->canonical transposes cancel to a bitcast inside the same jit
-    ht = head_tile if head_tile is not None else min(16, rep)
+    # Large tiles amortize the shared score matmuls and the batched
+    # suffix-sum dot over more heads per grid step: on v5e at the 1.3B
+    # shape (H=64, P=64, N=128) ht=64 measures 1.25-1.20 ms bwd-only vs
+    # 2.00 ms for ht=16, at every chunk size swept (scripts/profile_train.py
+    # ssd). The tile must divide rep: pick the largest divisor <= 64.
+    if head_tile is not None:
+        ht = head_tile
+    else:
+        ht = next(d for d in (64, 32, 16, 8, 4, 2, 1) if rep % d == 0)
     interp = interpret if interpret is not None else jax.default_backend() != "tpu"
     Q = effective_chunk(chunk_size, interp)
 

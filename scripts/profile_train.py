@@ -51,9 +51,14 @@ def bench_step(args):
     import dataclasses
 
     cfg = MambaConfig(mmu_task=False)
+    mixer_kw = {}
     if args.chunk:
+        mixer_kw["chunk_size"] = args.chunk
+    if args.bwd_head_tile:
+        mixer_kw["bwd_head_tile"] = args.bwd_head_tile
+    if mixer_kw:
         cfg = dataclasses.replace(
-            cfg, mixer=dataclasses.replace(cfg.mixer, chunk_size=args.chunk)
+            cfg, mixer=dataclasses.replace(cfg.mixer, **mixer_kw)
         )
     model = OmniMambaModel(cfg=cfg, vision_cfg=VisionConfig(), vq_cfg=VQConfig(), sptids={})
     remat = False if args.no_remat else (args.remat_policy or True)
@@ -129,8 +134,13 @@ def bench_ssd(args):
     impl = {"pallas_ad": ssd_pallas_ad, "chunked": ssd_chunked}[args.scan_impl]
 
     kw = {}
-    if args.head_tile and args.scan_impl == "pallas_ad":
-        kw["head_tile"] = args.head_tile
+    if args.scan_impl == "pallas_ad":
+        if args.head_tile:
+            kw["head_tile"] = args.head_tile
+        if args.chunk:
+            kw["chunk_size"] = args.chunk
+    elif args.chunk:
+        kw["chunk_size"] = args.chunk
 
     def loss(x, dt, A, Bm, Cm, D):
         y, st = impl(x, dt, A, Bm, Cm, D, **kw)
@@ -138,38 +148,35 @@ def bench_ssd(args):
             jnp.sum(y.astype(jnp.float32) ** 2) + jnp.sum(st ** 2),
         )[0]
 
-    grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5)))
-    fwd_fn = jax.jit(lambda *a: impl(*a, **kw)[0])
+    grad_fn = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))
+
+    def fwd_fn(*a):
+        return impl(*a, **kw)[0]
+
+    # per-op dispatch via the tunnel costs ~10 ms — host-side call loops
+    # measure dispatch, not the kernel. Loop on-device inside one jit.
+    from omnimamba_tpu.utils.profiling import bench_compiled
 
     t0 = time.time()
-    g = grad_fn(x, dt, A, Bm, Cm, D)
-    sync(g)
-    print(f"bwd compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+    dt_both = bench_compiled(grad_fn, x, dt, A, Bm, Cm, D, loops=args.iters)
+    print(f"bwd compile+bench: {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    y = fwd_fn(x, dt, A, Bm, Cm, D)
-    sync(y)
-    print(f"fwd compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+    dt_fwd = bench_compiled(fwd_fn, x, dt, A, Bm, Cm, D, loops=args.iters)
+    print(f"fwd compile+bench: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    n = args.iters
-    t0 = time.time()
-    for _ in range(n):
-        y = fwd_fn(x, dt, A, Bm, Cm, D)
-    sync(y)
-    dt_fwd = (time.time() - t0) / n
-
-    t0 = time.time()
-    for _ in range(n):
-        g = grad_fn(x, dt, A, Bm, Cm, D)
-    sync(g)
-    dt_both = (time.time() - t0) / n
-
-    # fwd MACs per token-head: yT P*Q + inter P*N + state P*N + scores Q*N/H
-    Q = 256
-    macs_fwd = B * L * H * (P * Q + 2 * P * N + Q * N // H)
+    # honest padded-work accounting at the chunk the call actually used
+    Q = kw.get("chunk_size", 256 if args.scan_impl == "pallas_ad" else 128)
+    Lp = -(-L // Q) * Q
+    # fwd MACs/token-head: intra attn (Q*N scores/H-share + Q*P apply) +
+    # state build/apply (2*P*N)
+    macs_fwd = B * Lp * H * (P * Q + 2 * P * N + Q * N // G // H)
+    tf_fwd = 2 * macs_fwd / dt_fwd / 1e12
+    tf_bwd = 3 * 2 * macs_fwd / max(dt_both - dt_fwd, 1e-9) / 1e12
     print(
-        f"SSD {args.scan_impl} B={B} L={L} ht={args.head_tile}: "
-        f"fwd {dt_fwd*1e3:.2f} ms ({2*macs_fwd/dt_fwd/1e12:.1f} TF/s)  "
-        f"fwd+bwd {dt_both*1e3:.2f} ms"
+        f"SSD {args.scan_impl} B={B} L={L} Q={Q} ht={args.head_tile}: "
+        f"fwd {dt_fwd*1e3:.3f} ms ({tf_fwd:.1f} TF/s)  "
+        f"fwd+bwd {dt_both*1e3:.3f} ms  "
+        f"(bwd-only {1e3*(dt_both-dt_fwd):.3f} ms, ~{tf_bwd:.1f} TF/s at 3x fwd flops)"
     )
 
     if args.trace:
@@ -240,6 +247,7 @@ def main():
     p.add_argument("--seqlen", type=int, default=1280)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--head-tile", type=int, default=0)
+    p.add_argument("--bwd-head-tile", type=int, default=0)
     p.add_argument("--scan-impl", default="pallas_ad")
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--remat-policy", default=None, help="e.g. 'dots'")

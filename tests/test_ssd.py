@@ -147,3 +147,37 @@ def test_tasks_diverge_with_nonzero_lora():
     y_t2i, _ = mamba2_forward(params, x, "t2i", cfg, lora_cfg)
     y_mmu, _ = mamba2_forward(params, x, "mmu", cfg, lora_cfg)
     assert not np.allclose(np.asarray(y_t2i), np.asarray(y_mmu))
+
+
+def test_chunked_grads_finite_under_fast_decay():
+    """Regression: the intra-chunk decay matrix computed exp(s_i - s_j) at
+    masked (j > i) positions too, where the argument is >= 0 and grows with
+    the span — overflowing to inf for fast-decaying heads (large dt*|A|).
+    The forward where() hid the inf, but the autodiff backward formed
+    inf * 0 = NaN (observed on TPU at 1.3B shapes: NaN ddt/dA). The fix
+    clamps the masked lanes before the exp."""
+    B, L, H, P, N, G = 1, 96, 2, 4, 8, 1
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, L, H, P)), jnp.float32)
+    # dt * |A| ~ 2 per step -> within-chunk span decays by ~190 >> log(f32max)
+    dt = jnp.full((B, L, H), 0.5, jnp.float32)
+    A = jnp.asarray([-4.0, -8.0], jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((B, L, G, N)), jnp.float32)
+    Cm = jnp.asarray(rng.standard_normal((B, L, G, N)), jnp.float32)
+    D = jnp.asarray(rng.standard_normal((H,)), jnp.float32)
+
+    def loss(*a):
+        y, st = ssd_chunked(*a, chunk_size=96)
+        return jnp.sum(y**2) + jnp.sum(st**2)
+
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5)))(
+        x, dt, A, Bm, Cm, D
+    )
+    for name, g in zip(["dx", "ddt", "dA", "dB", "dC", "dD"], grads):
+        assert np.isfinite(np.asarray(g)).all(), f"{name} has non-finite entries"
+
+    # and the forward still matches the sequential oracle at these extremes
+    y, st = ssd_chunked(x, dt, A, Bm, Cm, D, chunk_size=32)
+    y_ref, st_ref = ssd_scan_reference(x, dt, A, Bm, Cm, D)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(st_ref), rtol=1e-4, atol=1e-4)
