@@ -298,6 +298,16 @@ def backbone_forward(
             # keep x/bc/dt only; z (~half the bytes) recomputes as ONE
             # matmul — the middle rung between "proj" and full remat
             policy = jax.checkpoint_policies.save_only_these_names("in_proj_out")
+        elif remat == "proj_ssd":
+            # proj_xbd + the SSD scan's output and residual chunk-states:
+            # the backward then reuses them instead of re-running the Pallas
+            # forward (only the cheap conv/dt-activation chain recomputes).
+            # Saving "ssd_in" too (the kernel's post-conv inputs) would also
+            # skip that chain but duplicates x (+1.2 GB at 1.3B B=8 — OOMs
+            # on one v5e); the named values exist for bigger-HBM setups.
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "in_proj_out", "ssd_out", "ssd_resid"
+            )
         elif remat == "dots":
             policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)

@@ -320,10 +320,12 @@ def mamba2_forward(
     elif scan_impl == "pallas_ad":
         # differentiable fused kernel (custom VJP): training-capable Pallas.
         # Chunking is math-invariant, so pick the chunk that minimizes pad
-        # waste (ties -> larger): the t2i length 329 pads to 512 at Q=256
-        # (56% wasted kernel tokens) but only 384 at Q=128.
+        # waste, ties -> LARGER (fewer grid steps, shorter sequential state
+        # chain: at the t2i length 329 both Q=128 and Q=384 pad to 384, and
+        # Q=384 measures 2.77 vs 3.23 ms fwd+bwd per layer on v5e — full
+        # step 361 vs 375 ms; scripts/profile_train.py ssd sweep).
         q = min(
-            (Q for Q in (128, cfg.chunk_size) if Q <= cfg.chunk_size),
+            sorted({128, 256, 384, cfg.chunk_size}),
             key=lambda Q: (-(-L // Q) * Q, -Q),
         )
         from omnimamba_tpu.ops.ssd_pallas_bwd import ssd_pallas_ad
@@ -331,6 +333,13 @@ def mamba2_forward(
         y, final_state = ssd_pallas_ad(
             xh, dt, A, Bh, Ch, params["D"], q, cfg.bwd_head_tile, None
         )
+        # named so remat="proj_ssd" (train.trainer) can pin the scan output
+        # as a checkpoint residual: the backward then skips re-running the
+        # Pallas forward entirely (see ssd_pallas_bwd._fwd for the matching
+        # "ssd_resid" name on the chunk-states residual).
+        from jax.ad_checkpoint import checkpoint_name
+
+        y = checkpoint_name(y, "ssd_out")
     else:
         raise ValueError(f"unknown scan_impl {scan_impl}")
 

@@ -397,7 +397,18 @@ def _fwd(x, dt, A, Bmat, Cmat, D, chunk_size, head_tile, interpret):
         chunk_size=chunk_size, head_tile=None, interpret=interpret,
         return_chunk_states=True,
     )
-    return (y, state), (x, dt, A, Bmat, Cmat, D, hin)
+    # named residuals: under remat="proj_ssd" (train.trainer) the policy
+    # pins these, so the rematerialized backward reuses the saved chunk
+    # states + kernel inputs instead of re-running the Pallas forward and
+    # the conv/dt-activation chain that feeds it
+    from jax.ad_checkpoint import checkpoint_name
+
+    hin = checkpoint_name(hin, "ssd_resid")
+    x_r = checkpoint_name(x, "ssd_in")
+    dt_r = checkpoint_name(dt, "ssd_in")
+    B_r = checkpoint_name(Bmat, "ssd_in")
+    C_r = checkpoint_name(Cmat, "ssd_in")
+    return (y, state), (x_r, dt_r, A, B_r, C_r, D, hin)
 
 
 def _bwd(chunk_size, head_tile, interpret, res, cts):

@@ -81,6 +81,10 @@ def make_train_step(
         params = _freeze(params)
         # resolve remat="proj" (auto) against the traced batch shape.
         # Measured at 1.3B on one v5e:
+        # - t2i-only <=~2.7k tok/dev on the pallas_ad path: "proj_ssd"
+        #   (proj_xbd + pin the SSD kernel's output/chunk-state residuals so
+        #   the backward skips re-running the Pallas forward) — 339 vs 361
+        #   ms/step at B=8; OOMs by 1.2 G at B=12 (3948 tok).
         # - t2i-only <=4k tok/dev: "proj_xbd" (save x/bc/dt, drop z — one
         #   cheap matmul recompute) beats "proj" 420 vs 521 ms/step at B=8
         #   (saving z costs more HBM write bandwidth than its recompute
@@ -101,6 +105,8 @@ def make_train_step(
             n_dev = mesh.size if mesh is not None else 1
             if "mmu_flow" in batch or toks / n_dev > 4000:
                 remat = True
+            elif toks / n_dev <= 2700 and scan_impl == "pallas_ad":
+                remat = "proj_ssd"
             else:
                 remat = "proj_xbd"
         k1, k2 = jax.random.split(key)
