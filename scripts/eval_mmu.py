@@ -9,6 +9,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -29,6 +30,11 @@ def main():
     parser.add_argument("--max-new-tokens", type=int, default=16)
     parser.add_argument("--out", default=None, help="write predictions JSONL")
     parser.add_argument("--platform", default=None)
+    parser.add_argument(
+        "--questions-per-image", type=int, default=1,
+        help="synthetic mode: questions sharing one image (real POPE asks "
+        "~6/image; exercises the cross-batch feature cache realistically)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -57,10 +63,12 @@ def main():
         os.makedirs(root, exist_ok=True)
         rng = np.random.default_rng(0)
         rows = []
+        qpi = max(args.questions_per_image, 1)
         for i in range(args.synthetic):
-            img = rng.integers(0, 255, (480, 640, 3), np.uint8)
-            p = os.path.join(root, f"img_{i:04d}.png")
-            Image.fromarray(img).save(p)
+            p = os.path.join(root, f"img_{i // qpi:04d}.png")
+            if i % qpi == 0:
+                img = rng.integers(0, 255, (480, 640, 3), np.uint8)
+                Image.fromarray(img).save(p)
             if args.protocol == "mmmu":
                 rows.append({
                     "image": p,
@@ -87,13 +95,19 @@ def main():
     model, params, uni = build_model(cfg, stage="inference", dtype=jnp.bfloat16)
 
     rows = load_manifest(args.manifest)
+    t0 = time.time()
     rows = run_vqa_eval(
         params, model, uni, rows,
         image_root=args.image_root, max_new_tokens=args.max_new_tokens,
         multiple_choice=args.protocol == "mmmu",
         progress=lambda i, n: print(f"\r{i}/{n}", end="", file=sys.stderr),
     )
-    print(file=sys.stderr)
+    dt = time.time() - t0
+    print(
+        f"\n{len(rows)} rows in {dt:.0f}s = {len(rows)/dt:.2f} rows/s "
+        "(includes compiles on a cold cache)",
+        file=sys.stderr,
+    )
     if args.out:
         with open(args.out, "w") as f:
             for r in rows:
