@@ -226,6 +226,32 @@ def run_vqa_eval(
     cache_cap = max(int(feature_cache_images), batch_size)
     feat_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
 
+    # jit the two device entry points: eager dispatch pays a per-op
+    # round-trip (~10 ms on a tunneled chip — seconds per batch across a
+    # 48-layer model). Prompt lengths bucket to multiples of 32 above, so
+    # the decode closure compiles once per (L0, total) bucket, not per
+    # batch.
+    import jax
+
+    jit_features = jax.jit(
+        lambda p, pix: mmu_image_features(p, model, pix)
+    )
+    # one dispatch for the per-batch gather of cached device features
+    jit_stack = jax.jit(lambda *fs: jnp.stack(fs))
+    _gen_progs: Dict = {}
+
+    def jit_generate(L0: int, total: int):
+        key = (L0, total)
+        if key not in _gen_progs:
+            _gen_progs[key] = jax.jit(
+                lambda p, ids, feats, tl: mmu_generate(
+                    p, model, ids, feats,
+                    max_length=total + max_new_tokens,
+                    eos_token_id=eos, dtype=dtype, text_lengths=tl,
+                )
+            )
+        return _gen_progs[key]
+
     def prompt_ids(row):
         question = mmmu_question(row) if multiple_choice else row["question"]
         conv = conv_templates[conversation_template].copy()
@@ -240,9 +266,12 @@ def run_vqa_eval(
         while len(group) < batch_size:  # static shapes
             group.append(group[-1])
 
-        # featurize each unique image at most once ACROSS batches; the ViT
-        # batch stays batch_size-shaped (pad with repeats) so one program
-        # serves every group.
+        # featurize each unique image at most once ACROSS batches. The
+        # cache holds DEVICE arrays: features are (729, d) per image — on a
+        # tunneled chip, re-uploading a full batch of cached features from
+        # host numpy cost ~100 MB/batch, several times the decode itself.
+        # The ViT batch buckets to the number of NEW images (pad to 4), so
+        # a mostly-cached batch runs a 4-image program, not batch_size.
         paths = [os.path.join(image_root, r["image"]) for r in group]
         missing = [p for p in dict.fromkeys(paths) if p not in feat_cache]
         if missing:
@@ -252,18 +281,19 @@ def run_vqa_eval(
                 td = host_dinosiglip_transform(raw, model.vision_cfg)
                 for k in towers:
                     towers[k].append(td[k])
-            while len(towers["dino"]) < batch_size:
+            vb = min(-(-len(missing) // 4) * 4, batch_size)
+            while len(towers["dino"]) < vb:
                 for k in towers:
                     towers[k].append(towers[k][-1])
             pix = {k: jnp.asarray(np.stack(v)) for k, v in towers.items()}
-            new_feats = np.asarray(mmu_image_features(params, model, pix))
-            for p, f in zip(missing, new_feats):
-                feat_cache[p] = f
+            new_feats = jit_features(params, pix)
+            for i, p in enumerate(missing):
+                feat_cache[p] = new_feats[i]
         for p in paths:
             feat_cache.move_to_end(p)  # LRU touch BEFORE eviction
         while len(feat_cache) > cache_cap:
             feat_cache.popitem(last=False)
-        feats = jnp.asarray(np.stack([feat_cache[p] for p in paths]))
+        feats = jit_stack(*[feat_cache[p] for p in paths])
 
         id_rows = [prompt_ids(r) for r in group]
         lens = np.asarray([len(r) for r in id_rows], np.int32)
@@ -273,11 +303,8 @@ def run_vqa_eval(
             ids_arr[i, : len(r)] = r
 
         total = L0 + feats.shape[1]
-        gen = mmu_generate(
-            params, model, jnp.asarray(ids_arr), feats,
-            max_length=total + max_new_tokens,
-            eos_token_id=eos, dtype=dtype,
-            text_lengths=jnp.asarray(lens),
+        gen = jit_generate(L0, total)(
+            params, jnp.asarray(ids_arr), feats, jnp.asarray(lens)
         )
         n = int(gen.num_generated)
         seqs = np.asarray(gen.sequences)[:, total:]
