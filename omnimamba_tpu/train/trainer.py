@@ -91,7 +91,13 @@ def make_train_step(
         #   costs FLOPs) and halves the residual memory.
         # - beyond ~4k tok/dev: full remat. proj_xbd is verified through
         #   B=12 (3948 tok, 597 ms) but at B=16 "proj" measured 2.3 G over
-        #   HBM and "proj_xbd" hit a deterministic TPU-compiler crash.
+        #   HBM and "proj_xbd" fails too: what r2 recorded as a
+        #   "deterministic TPU-compiler crash" is buffer-assignment HBM
+        #   exhaustion at compile time, surfaced by the remote-compile
+        #   helper as an opaque exit-1 (scripts/repro_projxbd_crash.py:
+        #   B=16 x 48L proj_xbd fails; B=14, 24-layer, and "proj" all
+        #   compile — the residuals simply don't fit, so full remat at
+        #   B=16 is correct, not a workaround).
         # - any mmu flow present: full remat — the frozen vision towers +
         #   long mmu rows leave no residual headroom ("proj_xbd" measured
         #   958 M over HBM at t2i B=6 + mmu 1182 tok, with the optax
