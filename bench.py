@@ -201,6 +201,59 @@ def main():
     ips_cfg = n_cfg / (time.time() - t0)
     log(f"T2I CFG 7.5 dual-stream int8: {ips_cfg:.2f} img/s/chip ({n_cfg} imgs)")
 
+    # train-step throughput (1.3B t2i B=8, trainer auto-remat -> proj_ssd):
+    # driver-visible so MFU regressions show in BENCH_r*.json. Guarded — a
+    # failure here must not cost the headline metric. Program is in the
+    # persistent compile cache after any profile_train/train run; a cold
+    # cache costs one ~7 min compile.
+    train_ms = train_mfu = None
+    try:
+        # free the serving params first — train state (bf16 params + adamw
+        # moments + step working set) needs most of the 16G HBM
+        del params, qparams, imgs, out, emb, emb_q, emb1, emb2, ids_cfg
+        import gc
+
+        gc.collect()
+        from omnimamba_tpu.config import TrainConfig
+        from omnimamba_tpu.models.omnimamba import init_omnimamba
+        from omnimamba_tpu.train.trainer import create_train_state, make_train_step
+
+        tcfg = TrainConfig(stage="finetune", t2i_task=True, mmu_task=False)
+        # t2i-only model (as scripts/profile_train.py): with the mmu task
+        # branches included, params + adamw moments push the step's compile
+        # past the 15.75G HBM budget (measured: 16.58G wanted)
+        tcfg_model = MambaConfig(mmu_task=False)
+        tmodel = OmniMambaModel(
+            cfg=tcfg_model, vision_cfg=VisionConfig(), vq_cfg=vq_cfg, sptids={}
+        )
+        tparams = init_omnimamba(
+            jax.random.PRNGKey(0), tmodel, dtype=jnp.bfloat16, with_vq=False
+        )
+        state, tx = create_train_state(tparams, tcfg)
+        step_fn = make_train_step(tmodel, tx, tcfg, dtype=jnp.bfloat16)
+        tb = {
+            "t2i_flow": {
+                "inputs": jnp.asarray(rng.integers(0, 16384, (8, 256)), jnp.int32),
+                "caption_ids": jnp.asarray(
+                    rng.integers(0, cfg.vocab_size, (8, 73)), jnp.int32
+                ),
+            }
+        }
+        tkey = jax.random.PRNGKey(1)
+        state, m = step_fn(state, tb, tkey)
+        sync(m)
+        t0 = time.time()
+        for _ in range(3):
+            state, m = step_fn(state, tb, tkey)
+        sync(m)
+        dt_tr = (time.time() - t0) / 3
+        n_tr = sum(x.size for x in jax.tree.leaves(tparams["mamba"]))
+        train_ms = dt_tr * 1e3
+        train_mfu = 6 * n_tr * 8 * 329 / dt_tr / 197e12 * 100
+        log(f"train step B=8: {train_ms:.0f} ms  MFU {train_mfu:.1f}%")
+    except Exception as e:  # noqa: BLE001
+        log(f"train-step bench skipped: {e!r}")
+
     print(
         json.dumps(
             {
@@ -214,6 +267,8 @@ def main():
                     "mmu_tok_per_sec_b48_int8": round(tps_q, 1),
                     "mmu_tok_per_sec_best": round(tps_best, 1),
                     "mmu_tok_per_sec_b1_int8": round(tps_1, 1),
+                    "train_step_ms_b8": None if train_ms is None else round(train_ms, 1),
+                    "train_mfu_pct": None if train_mfu is None else round(train_mfu, 1),
                 },
             }
         )
