@@ -221,11 +221,39 @@ def preprocess_uint8(imgs_uint8: np.ndarray) -> jax.Array:
     return x * 2.0 - 1.0
 
 
+def save_inception_npz(
+    pth_path: str, out_path: str, variant: str | None = None
+) -> str:
+    """Convert a torch InceptionV3 state_dict (.pth) to the framework's
+    flat npz, embedding the ``__variant__`` marker that
+    ``inception_features`` requires (auto-detected from the fc head when
+    not given: 1008 classes = pytorch-fid's TF-ported weights -> "fid",
+    1000 = torchvision). Returns the detected/used variant."""
+    import torch
+
+    state = torch.load(pth_path, map_location="cpu", weights_only=True)
+    if "state_dict" in state:
+        state = state["state_dict"]
+    npstate = {k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")}
+    if variant is None:
+        fc = npstate.get("fc.weight")
+        variant = "fid" if fc is not None and fc.shape[0] == 1008 else "torchvision"
+    params = convert_torch_inception(npstate)
+    flat = {
+        f"{base}/{leaf}": np.asarray(v)
+        for base, leaves in params.items()
+        for leaf, v in leaves.items()
+    }
+    flat["__variant__"] = np.asarray(variant)
+    np.savez(out_path, **flat)
+    return variant
+
+
 def inception_features(
     weights_path: str, variant: str | None = None
 ) -> Callable[[np.ndarray], np.ndarray]:
     """Feature extractor for compute_fid(): loads a converted ``.npz`` (see
-    scripts/convert_ckpt.py --inception) or a torch ``.pth`` state_dict.
+    scripts/convert_ckpt.py --kind inception) or a torch ``.pth`` state_dict.
 
     ``variant=None`` auto-detects: pytorch-fid's TF-ported weights carry a
     1008-class fc (``pt_inception-2015-12-05``) -> "fid" graph; a
@@ -236,7 +264,19 @@ def inception_features(
         flat = dict(np.load(weights_path))
         if variant is None:
             v = flat.pop("__variant__", None)
-            variant = str(np.asarray(v).item()) if v is not None else "fid"
+            if v is None:
+                # Refuse to guess (ADVICE r3): a torchvision-derived npz
+                # silently getting the max-pool "fid" graph corrupts every
+                # downstream FID with no warning. npz files written by
+                # save_inception_npz / convert_ckpt.py --kind inception
+                # always carry the marker.
+                raise ValueError(
+                    f"{weights_path} has no __variant__ key; re-export it "
+                    "with scripts/convert_ckpt.py --kind inception (which "
+                    "embeds the marker) or pass variant='fid'/'torchvision' "
+                    "explicitly"
+                )
+            variant = str(np.asarray(v).item())
         else:
             flat.pop("__variant__", None)
         params: Dict = {}

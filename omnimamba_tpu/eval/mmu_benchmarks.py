@@ -124,18 +124,30 @@ def mmmu_question(row: Dict) -> str:
 
 
 def mmmu_extract_letter(pred: str, options: Sequence[str]) -> Optional[str]:
-    """Parse a letter answer out of a free-form prediction: first a
-    standalone option letter (optionally '(A)', 'A.', 'A)'), else a unique
-    normalized option-text match."""
+    """Parse a letter answer out of a free-form prediction.
+
+    Order matters (ADVICE r3): a case-insensitive standalone-letter scan
+    matched the English article in 'a dog' as option A before the
+    option-text fallback could run. Now: (1) anchored letter forms —
+    '(A)', 'A.', 'A)', 'A:' — any case; (2) exact normalized option-text
+    match; (3) UPPERCASE standalone letter only (a bare lowercase 'a'/'b'
+    is far more likely prose than an answer); (4) unique option-text
+    containment."""
     k = len(options)
     letters = _MMMU_LETTERS[:k]
-    m = re.search(rf"\b([{letters}])\b[.):]?", pred.strip(), re.IGNORECASE)
+    s = pred.strip()
+    if re.fullmatch(rf"[{letters}]", s, re.IGNORECASE):
+        return s.upper()  # the whole prediction is one letter: unambiguous
+    m = re.search(rf"(?:^|[\s(])([{letters}])[.):]", s, re.IGNORECASE)
     if m:
         return m.group(1).upper()
     p = _normalize(pred)
     hits = [i for i, o in enumerate(options) if _normalize(str(o)) == p]
     if len(hits) == 1:
         return _MMMU_LETTERS[hits[0]]
+    m = re.search(rf"\b([{letters}])\b", s)  # uppercase only
+    if m:
+        return m.group(1)
     # substring fallback (unique containment only)
     hits = [i for i, o in enumerate(options) if _normalize(str(o)) and _normalize(str(o)) in p]
     if len(hits) == 1:

@@ -56,12 +56,41 @@ class _Batcher(threading.Thread):
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self._stop = threading.Event()
+        self._pending = 0  # submitted and not yet completed (incl. in-flight)
+        self._pending_lock = threading.Lock()
+
+    def idle(self) -> bool:
+        """True when nothing is queued OR in flight. ``queue.empty()`` alone
+        is wrong for routing: the worker dequeues immediately, so the queue
+        is empty for the whole decode while the lane is busy (ADVICE r3)."""
+        with self._pending_lock:
+            return self._pending == 0
 
     def submit(self, payload: Dict, timeout: float = 120.0) -> Dict:
+        with self._pending_lock:
+            self._pending += 1
+        return self._run(payload, timeout)
+
+    def submit_if_idle(self, payload: Dict, timeout: float = 120.0) -> Optional[Dict]:
+        """Atomic idle-check + submit: returns None (caller should fall back
+        to another worker) unless this lane had NO queued or in-flight work.
+        A separate idle()-then-submit() pair would let two concurrent
+        requests both observe idle and serialize on the lane."""
+        with self._pending_lock:
+            if self._pending:
+                return None
+            self._pending += 1
+        return self._run(payload, timeout)
+
+    def _run(self, payload: Dict, timeout: float) -> Dict:
         req = _Request(payload)
-        self.queue.put(req)
-        if not req.done.wait(timeout):
-            raise TimeoutError("batch worker timeout")
+        try:
+            self.queue.put(req)
+            if not req.done.wait(timeout):
+                raise TimeoutError("batch worker timeout")
+        finally:
+            with self._pending_lock:
+                self._pending -= 1
         if req.error:
             raise RuntimeError(req.error)
         return req.result
@@ -112,6 +141,22 @@ class OmniMambaService:
         self.mmu_batch = mmu_batch
         self.mmu_max_new = mmu_max_new
         self._seed = np.random.default_rng(0)
+        # Jit caches for the device entry points, keyed by the static parts
+        # of each call (shape buckets, sampler settings). Eager dispatch on
+        # a tunneled chip costs ~10 ms/op — the r3 eval-harness fix was
+        # exactly this (31x); the serve paths share it (ADVICE r3).
+        self._jit: Dict = {}
+
+    def _features_fn(self):
+        import jax
+
+        if "features" not in self._jit:
+            from omnimamba_tpu.models.omnimamba import mmu_image_features
+
+            self._jit["features"] = jax.jit(
+                lambda p, pix: mmu_image_features(p, self.model, pix)
+            )
+        return self._jit["features"]
 
     # --- t2i ---------------------------------------------------------------
     def t2i_batch_fn(self, payloads: List[Dict]) -> List[Dict]:
@@ -166,16 +211,31 @@ class OmniMambaService:
             blocks = np.stack(blocks)
         text_ids = jnp.asarray(blocks, jnp.int32)
         top_k = int(payloads[0].get("top_k", 1))
-        imgs, _ = t2i_generate(
-            self.params, self.model, text_ids,
-            sample=SampleParams(
-                top_k=top_k,
-                temperature=float(payloads[0].get("temperature", 1.0)),
-            ),
-            key=jax.random.PRNGKey(int(self._seed.integers(1 << 31))),
-            dtype=self.dtype, cache_dtype=self.cache_dtype,
-            text_lengths=text_lengths,
-        )
+        temperature = float(payloads[0].get("temperature", 1.0))
+        ragged = text_lengths is not None
+        jkey = ("t2i", text_ids.shape[1], ragged, top_k, temperature)
+        if jkey not in self._jit:
+            sp_sample = SampleParams(top_k=top_k, temperature=temperature)
+            if ragged:
+                self._jit[jkey] = jax.jit(
+                    lambda p, ids, k, lens: t2i_generate(
+                        p, self.model, ids, sample=sp_sample, key=k,
+                        dtype=self.dtype, cache_dtype=self.cache_dtype,
+                        text_lengths=lens,
+                    )[0]
+                )
+            else:
+                self._jit[jkey] = jax.jit(
+                    lambda p, ids, k: t2i_generate(
+                        p, self.model, ids, sample=sp_sample, key=k,
+                        dtype=self.dtype, cache_dtype=self.cache_dtype,
+                    )[0]
+                )
+        key = jax.random.PRNGKey(int(self._seed.integers(1 << 31)))
+        if ragged:
+            imgs = self._jit[jkey](self.params, text_ids, key, text_lengths)
+        else:
+            imgs = self._jit[jkey](self.params, text_ids, key)
         arr = np.asarray(from_vq_range(imgs))[:n_real]
         out = []
         for img in arr:
@@ -193,7 +253,7 @@ class OmniMambaService:
 
         from omnimamba_tpu.data.conversation import conv_templates
         from omnimamba_tpu.data.transforms import dinosiglip_transform
-        from omnimamba_tpu.models.omnimamba import mmu_generate, mmu_image_features
+        from omnimamba_tpu.models.omnimamba import mmu_generate
 
         sp = self.model.sptids
         eos = int(self.uni.text_tokenizer.eos_token_id)
@@ -215,7 +275,10 @@ class OmniMambaService:
             id_rows.append(
                 [sp["<|mmu|>"], sp["<|soi|>"], sp["<|eoi|>"], sp["<|sot|>"]] + ids
             )
-        max_len = max(len(r) for r in id_rows)
+        # bucket the padded length to a multiple of 32 so the jitted decode
+        # compiles once per (L0, total) bucket, not per exact length; ragged
+        # text_lengths keeps every row's stream exactly its solo stream
+        max_len = -(-max(len(r) for r in id_rows) // 32) * 32
         pad_id = int(self.uni.pad_id)
         ids_arr = np.full((len(rows), max_len), pad_id, np.int32)
         for i, r in enumerate(id_rows):
@@ -225,14 +288,23 @@ class OmniMambaService:
         # batch get exactly their single-request streams
         text_lens = np.asarray([len(r) for r in id_rows], np.int32)
 
+        import jax
+
         pix = dinosiglip_transform(jnp.asarray(np.stack(raws)), self.model.vision_cfg)
-        feats = mmu_image_features(self.params, self.model, pix)
+        feats = self._features_fn()(self.params, pix)
         total = ids_arr.shape[1] + feats.shape[1]
-        gen = mmu_generate(
-            self.params, self.model, jnp.asarray(ids_arr), feats,
-            max_length=total + self.mmu_max_new,
-            eos_token_id=eos, dtype=self.dtype, cache_dtype=self.cache_dtype,
-            text_lengths=jnp.asarray(text_lens),
+        jkey = ("mmu", max_len, int(total))
+        if jkey not in self._jit:
+            max_length = total + self.mmu_max_new
+            self._jit[jkey] = jax.jit(
+                lambda p, ids, f, lens: mmu_generate(
+                    p, self.model, ids, f, max_length=max_length,
+                    eos_token_id=eos, dtype=self.dtype,
+                    cache_dtype=self.cache_dtype, text_lengths=lens,
+                )
+            )
+        gen = self._jit[jkey](
+            self.params, jnp.asarray(ids_arr), feats, jnp.asarray(text_lens)
         )
         n = int(gen.num_generated)
         seqs = np.asarray(gen.sequences)[:, total:]
@@ -251,12 +323,13 @@ class OmniMambaService:
         drafts — stream-identical to the plain path, lower latency when the
         answer echoes the prompt. B=1, exact prompt length (one compiled
         program per length bucket lives in the persistent cache)."""
+        import jax
         import jax.numpy as jnp
         from PIL import Image
 
         from omnimamba_tpu.data.conversation import conv_templates
         from omnimamba_tpu.data.transforms import dinosiglip_transform
-        from omnimamba_tpu.models.omnimamba import mmu_generate, mmu_image_features
+        from omnimamba_tpu.models.omnimamba import mmu_generate
 
         assert len(payloads) == 1
         p = payloads[0]
@@ -272,15 +345,24 @@ class OmniMambaService:
         ids = [sp["<|mmu|>"], sp["<|soi|>"], sp["<|eoi|>"], sp["<|sot|>"]] + ids
 
         pix = dinosiglip_transform(jnp.asarray(raw), self.model.vision_cfg)
-        feats = mmu_image_features(self.params, self.model, pix)
+        feats = self._features_fn()(self.params, pix)
         ids_arr = jnp.asarray(np.asarray(ids, np.int32)[None])
         total = len(ids) + feats.shape[1]
-        gen = mmu_generate(
-            self.params, self.model, ids_arr, feats,
-            max_length=total + self.mmu_max_new,
-            eos_token_id=eos, dtype=self.dtype, cache_dtype=self.cache_dtype,
-            draft_mode="ngram",
-        )
+        # speculative decode needs the EXACT prompt length (ragged padding
+        # would feed pads as real draft context), so the jit cache keys on
+        # T0 itself — one compiled program per distinct prompt length, kept
+        # cheap across restarts by the persistent compile cache
+        jkey = ("mmu1", len(ids))
+        if jkey not in self._jit:
+            max_length = total + self.mmu_max_new
+            self._jit[jkey] = jax.jit(
+                lambda p, i, f: mmu_generate(
+                    p, self.model, i, f, max_length=max_length,
+                    eos_token_id=eos, dtype=self.dtype,
+                    cache_dtype=self.cache_dtype, draft_mode="ngram",
+                )
+            )
+        gen = self._jit[jkey](self.params, ids_arr, feats)
         n = int(gen.num_generated)
         toks = np.asarray(gen.sequences)[0, total:][:n]
         if eos in toks.tolist():
@@ -336,14 +418,14 @@ def make_server(
                     # QoS routing: low_latency requests take the speculative
                     # single-stream lane only when it is IDLE — otherwise
                     # fall back to the batcher so worst-case latency stays
-                    # bounded by the batch path
-                    use_lane = (
-                        spec_lane is not None
-                        and payload.get("low_latency", False)
-                        and spec_lane.queue.empty()
-                    )
-                    worker = spec_lane if use_lane else mmu_batcher
-                    self._json(200, worker.submit(payload))
+                    # bounded by the batch path. submit_if_idle is atomic:
+                    # concurrent low-latency requests cannot both claim it.
+                    result = None
+                    if spec_lane is not None and payload.get("low_latency", False):
+                        result = spec_lane.submit_if_idle(payload)
+                    if result is None:
+                        result = mmu_batcher.submit(payload)
+                    self._json(200, result)
                 else:
                     self._json(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001

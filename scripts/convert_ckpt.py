@@ -27,11 +27,26 @@ sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--kind", required=True, choices=["omnimamba", "vq", "mamba"])
+    parser.add_argument(
+        "--kind", required=True, choices=["omnimamba", "vq", "mamba", "inception"]
+    )
     parser.add_argument("--in", dest="inp", required=True)
     parser.add_argument("--out", required=True)
     parser.add_argument("--model", default="OmniMamba-1.3B")
+    parser.add_argument(
+        "--inception-variant", default=None, choices=[None, "fid", "torchvision"],
+        help="override the fc-head auto-detection for --kind inception",
+    )
     args = parser.parse_args()
+
+    if args.kind == "inception":
+        # FID feature extractor: folded-BN npz with the __variant__ marker
+        # that eval/inception.inception_features requires
+        from omnimamba_tpu.eval.inception import save_inception_npz
+
+        variant = save_inception_npz(args.inp, args.out, args.inception_variant)
+        print(f"wrote {args.out} (variant={variant})")
+        return
 
     from omnimamba_tpu.config import MODEL_REGISTRY, VQConfig
     from omnimamba_tpu.data.tokenizer import GPT_NEOX_BASE_VOCAB

@@ -242,3 +242,17 @@ def test_vqa_eval_unique_image_dedup(tmp_path):
     p_distinct = [r["prediction"] for r in
                   run_vqa_eval(params, model, uni, distinct, **kw)]
     assert p_shared == p_distinct
+
+
+def test_mmmu_letter_not_fooled_by_article():
+    """ADVICE r3: a case-insensitive standalone-letter scan graded 'a dog'
+    as option A before the option-text fallback could run."""
+    from omnimamba_tpu.eval.mmu_benchmarks import mmmu_extract_letter
+
+    opts = ["a cat", "a dog", "a bird"]
+    assert mmmu_extract_letter("a dog", opts) == "B"  # option text, not 'a'
+    assert mmmu_extract_letter("b", opts) == "B"  # whole-pred single letter
+    assert mmmu_extract_letter("B.", opts) == "B"
+    assert mmmu_extract_letter("The answer is C", opts) == "C"  # uppercase bare
+    # lowercase bare letters inside prose are NOT answers
+    assert mmmu_extract_letter("probably a small animal", opts) is None

@@ -70,3 +70,62 @@ def test_dryrun_cli_entry():
         f"rc={proc.returncode}\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     )
     assert "dryrun_multichip OK" in proc.stdout, proc.stdout
+
+
+def test_dryrun_parent_never_imports_jax(tmp_path):
+    """VERDICT r3 item 1b: the parent hung >30 min initializing the axon
+    backend just to count devices. The parent process must now decide from
+    the environment alone — poison `import jax` in the parent and verify the
+    dryrun still completes (the child is a fresh process and unaffected)."""
+    poison = tmp_path / "jax"
+    poison.mkdir()
+    (poison / "__init__.py").write_text(
+        "raise ImportError('dryrun parent must not import jax')\n"
+    )
+    code = (
+        "import sys; sys.path.insert(0, %r); sys.path.insert(0, %r)\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(2)\n" % (str(tmp_path), REPO)
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=_driver_env(),
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"rc={proc.returncode}\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    )
+    assert "dryrun_multichip OK" in proc.stdout, proc.stdout
+
+
+def test_dryrun_watchdog_fires():
+    """A wedged child must produce a clean RuntimeError at the deadline, not
+    30 minutes of silence."""
+    env = _driver_env()
+    env["OMNIMAMBA_DRYRUN_TIMEOUT_S"] = "2"
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import __graft_entry__\n"
+        "try:\n"
+        "    __graft_entry__.dryrun_multichip(2)\n"
+        "except RuntimeError as e:\n"
+        "    assert 'watchdog' in str(e), e\n"
+        "    print('WATCHDOG-OK')\n"
+        "else:\n"
+        "    raise SystemExit('expected the watchdog to fire')\n" % REPO
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, (
+        f"rc={proc.returncode}\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    )
+    assert "WATCHDOG-OK" in proc.stdout, proc.stdout

@@ -127,3 +127,40 @@ def test_default_features_warns_and_falls_back(caplog):
     assert any("NOT" in r.message for r in caplog.records)
     imgs = np.random.default_rng(0).integers(0, 255, (2, 32, 32, 3), np.uint8)
     assert fn(imgs).shape[0] == 2
+
+
+def test_npz_requires_variant_marker(tmp_path):
+    """ADVICE r3: a marker-less npz silently got the 'fid' graph. Now it
+    errors; save_inception_npz embeds the marker and round-trips."""
+    import pytest
+    import torch
+
+    from omnimamba_tpu.eval.inception import inception_features, save_inception_npz
+
+    rng = np.random.default_rng(0)
+    bare = tmp_path / "bare.npz"
+    np.savez(bare, **{"Conv2d_1a_3x3/w": rng.standard_normal((3, 3, 3, 32))})
+    with pytest.raises(ValueError, match="__variant__"):
+        inception_features(str(bare))
+
+    # explicit variant still accepted for legacy files
+    inception_features(str(bare), variant="torchvision")
+
+    # save_inception_npz: .pth -> npz with marker, auto-detected torchvision
+    state = {}
+    cout = 8
+    state["Conv2d_1a_3x3.conv.weight"] = torch.tensor(
+        rng.standard_normal((cout, 3, 3, 3)).astype(np.float32))
+    state["Conv2d_1a_3x3.bn.weight"] = torch.ones(cout)
+    state["Conv2d_1a_3x3.bn.bias"] = torch.zeros(cout)
+    state["Conv2d_1a_3x3.bn.running_mean"] = torch.zeros(cout)
+    state["Conv2d_1a_3x3.bn.running_var"] = torch.ones(cout)
+    state["fc.weight"] = torch.zeros((1000, 2048))
+    pth = tmp_path / "tv.pth"
+    torch.save(state, pth)
+    out = tmp_path / "tv.npz"
+    assert save_inception_npz(str(pth), str(out)) == "torchvision"
+    flat = dict(np.load(out))
+    assert str(np.asarray(flat["__variant__"]).item()) == "torchvision"
+    with pytest.warns(UserWarning, match="torchvision"):
+        inception_features(str(out))

@@ -181,3 +181,44 @@ def test_mmu_ragged_batch_matches_solo(server):
         ))
     for s, b in zip(solo, both):
         assert s["text"] == b["text"]
+
+
+def test_batcher_inflight_routing():
+    """ADVICE r3 (medium): queue.empty() was the idle gate, but the worker
+    dequeues immediately, so the lane looked idle for the whole in-flight
+    decode and concurrent low-latency requests serialized behind it.
+    idle()/submit_if_idle must track in-flight work, atomically."""
+    import time
+
+    from omnimamba_tpu.serve.server import _Batcher
+
+    started = threading.Event()
+    release = threading.Event()
+
+    def slow_batch(payloads):
+        started.set()
+        release.wait(timeout=10)
+        return [{"ok": True} for _ in payloads]
+
+    lane = _Batcher("test", slow_batch, 1, 0.0)
+    lane.start()
+    assert lane.idle()
+
+    res = [None]
+    t = threading.Thread(target=lambda: res.__setitem__(0, lane.submit({})))
+    t.start()
+    assert started.wait(timeout=10)
+    # queue is drained (worker holds the request) but the lane is BUSY
+    assert lane.queue.empty()
+    assert not lane.idle()
+    assert lane.submit_if_idle({}) is None  # atomic reject while busy
+    release.set()
+    t.join(timeout=10)
+    assert res[0] == {"ok": True}
+    for _ in range(100):
+        if lane.idle():
+            break
+        time.sleep(0.05)
+    assert lane.idle()
+    assert lane.submit_if_idle({}) == {"ok": True}
+    lane.stop()
