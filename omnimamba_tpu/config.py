@@ -434,6 +434,11 @@ class TrainConfig:
     # 1.3B B=8) so the backward skips the dominant matmul recompute;
     # "dots" = keep every matmul output (OOMs at 1.3B B=8 on one chip)
     remat: Any = "proj"
+    # mmu-flow override for mixed (stage-2) steps: the t2i flow resolves
+    # cfg.remat normally; the mmu flow (long spliced rows + frozen vision
+    # towers) uses this. None = resolve automatically (full remat unless
+    # measured otherwise); set e.g. "proj_xbd" to experiment.
+    remat_mmu: Any = None
 
     @classmethod
     def from_yaml(cls, path: str) -> "TrainConfig":

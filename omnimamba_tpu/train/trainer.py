@@ -98,10 +98,15 @@ def make_train_step(
         #   B=16 x 48L proj_xbd fails; B=14, 24-layer, and "proj" all
         #   compile — the residuals simply don't fit, so full remat at
         #   B=16 is correct, not a workaround).
-        # - any mmu flow present: full remat — the frozen vision towers +
-        #   long mmu rows leave no residual headroom ("proj_xbd" measured
-        #   958 M over HBM at t2i B=6 + mmu 1182 tok, with the optax
-        #   global_norm temps and 4.2 G of fragmentation on top).
+        # Mixed (stage-2) steps resolve remat PER FLOW (VERDICT r3 item 3):
+        # r2 measured "proj_xbd" on BOTH flows 958 M over HBM at t2i B=6 +
+        # mmu 1182 tok, so r2/r3 fell back to full remat everywhere the
+        # moment any mmu flow appeared. The mmu rows (frozen towers already
+        # stop_gradient-DCE'd) keep full remat by default (cfg.remat_mmu
+        # overrides), but the t2i flow now keeps its measured policy —
+        # only its own tokens count against the residual budget, with the
+        # mmu residual share freed by the mmu-side full remat
+        # (scripts/profile_train.py step --mmu measures the mixed shape).
         remat = cfg.remat
         if remat == "proj":
             toks = 0
@@ -109,12 +114,19 @@ def make_train_step(
                 b, nc = batch["t2i_flow"]["caption_ids"].shape
                 toks += b * (nc + batch["t2i_flow"]["inputs"].shape[1])
             n_dev = mesh.size if mesh is not None else 1
-            if "mmu_flow" in batch or toks / n_dev > 4000:
+            if toks / n_dev > 4000:
                 remat = True
-            elif toks / n_dev <= 2700 and scan_impl == "pallas_ad":
+            elif (
+                toks / n_dev <= 2700
+                and scan_impl == "pallas_ad"
+                and "mmu_flow" not in batch
+            ):
+                # proj_ssd pins ~1 GB of SSD kernel outputs on top of
+                # proj_xbd; safe headroom is only measured for t2i-only
                 remat = "proj_ssd"
             else:
                 remat = "proj_xbd"
+        remat_mmu = cfg.remat_mmu if cfg.remat_mmu is not None else True
         k1, k2 = jax.random.split(key)
         loss_t2i = jnp.float32(0.0)
         loss_mmu = jnp.float32(0.0)
@@ -141,7 +153,7 @@ def make_train_step(
                 dtype=dtype,
                 dropout_key=k2,
                 scan_impl=scan_impl,
-                remat=remat,
+                remat=remat_mmu,
             )
         loss = loss_t2i + loss_mmu  # summed (trainer.py:121)
         return loss, {"loss_t2i": loss_t2i, "loss_mmu": loss_mmu}

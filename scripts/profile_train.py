@@ -1,12 +1,16 @@
 """Profile the 1.3B t2i training step on the real TPU chip.
 
 Modes:
-  python scripts/profile_train.py step   [--batch 8] [--trace DIR]
+  python scripts/profile_train.py step   [--batch 8] [--trace DIR] [--mmu]
   python scripts/profile_train.py ssd    [--batch 8] [--seqlen 1280]
 
 ``step`` builds the full t2i-only train step (pallas_ad + remat, as
 trainer.py selects on TPU), times steady-state steps, and optionally
-captures a jax.profiler trace for an op-level breakdown.
+captures a jax.profiler trace for an op-level breakdown. ``--mmu`` builds
+the reference's stage-2 MIXED shape instead (config_stage2.yaml per-GPU:
+t2i B=6 + one mmu row spliced to 1182 tokens, DinoSigLIP towers frozen) —
+per-flow remat resolution (t2i keeps proj_ssd/proj_xbd, mmu full remat)
+is what trainer.loss_fn does with remat="proj".
 
 ``ssd`` microbenches ssd_pallas_ad fwd+bwd alone at 1.3B head geometry
 (H=64, P=64, N=128, ngroups=1) and prints achieved TFLOP/s so kernel work
@@ -50,7 +54,7 @@ def bench_step(args):
 
     import dataclasses
 
-    cfg = MambaConfig(mmu_task=False)
+    cfg = MambaConfig(mmu_task=args.mmu)
     mixer_kw = {}
     if args.chunk:
         mixer_kw["chunk_size"] = args.chunk
@@ -61,9 +65,10 @@ def bench_step(args):
             cfg, mixer=dataclasses.replace(cfg.mixer, **mixer_kw)
         )
     model = OmniMambaModel(cfg=cfg, vision_cfg=VisionConfig(), vq_cfg=VQConfig(), sptids={})
-    remat = False if args.no_remat else (args.remat_policy or True)
-    tcfg = TrainConfig(stage="finetune", t2i_task=True, mmu_task=False,
-                       scan_impl=args.scan_impl, remat=remat)
+    remat = False if args.no_remat else (args.remat_policy or "proj")
+    tcfg = TrainConfig(stage="finetune", t2i_task=True, mmu_task=args.mmu,
+                       scan_impl=args.scan_impl, remat=remat,
+                       remat_mmu=args.remat_mmu)
 
     t0 = time.time()
     params = init_omnimamba(jax.random.PRNGKey(0), model, dtype=jnp.bfloat16, with_vq=False)
@@ -73,7 +78,7 @@ def bench_step(args):
     state, tx = create_train_state(params, tcfg)
     step_fn = make_train_step(model, tx, tcfg, dtype=jnp.bfloat16)
 
-    B = args.batch
+    B = 6 if args.mmu and args.batch == 8 else args.batch
     rng = np.random.default_rng(0)
     batch = {
         "t2i_flow": {
@@ -81,6 +86,27 @@ def bench_step(args):
             "caption_ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 73)), jnp.int32),
         }
     }
+    if args.mmu:
+        # reference stage-2 per-GPU mmu shape: one 449-text-token row,
+        # spliced to 4 + 729 + 449 = 1182 positions (config_stage2.yaml)
+        side = model.vision_cfg.dino.img_size
+        batch["mmu_flow"] = {
+            "pixel_values": {
+                "dino": jnp.asarray(
+                    rng.normal(size=(1, side, side, 3)), jnp.float32
+                ),
+                "siglip": jnp.asarray(
+                    rng.normal(size=(1, side, side, 3)), jnp.float32
+                ),
+            },
+            "input_ids": jnp.asarray(
+                rng.integers(0, cfg.vocab_size, (1, 449)), jnp.int32
+            ),
+            "labels": jnp.asarray(
+                rng.integers(0, cfg.vocab_size, (1, 449)), jnp.int32
+            ),
+            "multimodal_mask": jnp.asarray([True]),
+        }
     key = jax.random.PRNGKey(1)
 
     t0 = time.time()
@@ -95,13 +121,16 @@ def bench_step(args):
         state, metrics = step_fn(state, batch, key)
     sync(metrics)
     dt = (time.time() - t0) / n
-    tokens = B * 329
+    tokens = B * 329 + (1182 if args.mmu else 0)
     # fwd 2NF + bwd 4NF (+ remat ~2NF not counted: MFU convention counts
-    # only the mathematically required FLOPs)
+    # only the mathematically required FLOPs). Mixed mode counts the mmu
+    # row's 1182 spliced LM positions; the frozen vision forward (2NF,
+    # no backward) is excluded, so mixed MFU is slightly understated.
     flops = 6 * n_params * tokens
     mfu = flops / dt / 197e12
+    shape = f"t2i b={B} + mmu 1182tok" if args.mmu else f"b={B} L=329"
     print(
-        f"STEP b={B} L=329 {dt*1e3:.1f} ms/step  {tokens/dt:.0f} tok/s  "
+        f"STEP {shape} {dt*1e3:.1f} ms/step  {tokens/dt:.0f} tok/s  "
         f"MFU(6NT/197T)={mfu*100:.1f}%",
     )
 
@@ -251,6 +280,10 @@ def main():
     p.add_argument("--scan-impl", default="pallas_ad")
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--remat-policy", default=None, help="e.g. 'dots'")
+    p.add_argument("--mmu", action="store_true",
+                   help="stage-2 MIXED shape: t2i B + one 1182-tok mmu row")
+    p.add_argument("--remat-mmu", default=None,
+                   help="mmu-flow remat override (default: full remat)")
     p.add_argument("--chunk", type=int, default=0)
     p.add_argument("--tokens", type=int, default=64)
     p.add_argument("--int8", action="store_true")
