@@ -1,0 +1,238 @@
+"""Self-distill a shallow DRAFT model for speculative decoding.
+
+VERDICT r3 item 4: the layer-skip draft (first M of 48 layers, zero extra
+memory) predicts the full target poorly out of the box — B=1 speculative
+decode only paid on repetitive streams (prompt-lookup ngram drafts). This
+trains those M layers to mimic the TARGET'S OWN greedy continuations
+(self-distillation — the data is generated on-chip from synthetic prompts,
+no egress), raising acceptance so the draft pays on non-repetitive text.
+
+Distillation never affects correctness: speculative decoding verifies every
+draft token against the target and emits a token-for-token identical stream
+(models/speculative.py); draft quality moves ONLY speed.
+
+The reference has no analog — its single-stream answer is CUDA-graph
+capture of the plain step (models/stage2/generation.py:296-434); this is
+the TPU-native route to the same latency goal.
+
+Recipe:
+1. DATA: batched greedy ``generate`` from random prompts -> target streams
+   (the exact distribution the draft must imitate at decode time).
+2. DRAFT: first ``m_layers`` + final norm, embeddings/head shared with the
+   target and FROZEN (the draft must map into the target's own tied head).
+3. TRAIN: teacher-forced CE against the target's next token over the
+   generated region, AdamW on the draft layers + norm only.
+4. EVAL: ``speculative_generate(draft_params=..., draft_cfg=...)`` on
+   held-out prompts; report acceptance (drafted vs accepted counters).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from omnimamba_tpu.config import MambaConfig
+from omnimamba_tpu.models.backbone import apply_head, backbone_forward, embed_text
+from omnimamba_tpu.models.generation import generate
+from omnimamba_tpu.models.speculative import shallow_draft, speculative_generate
+from omnimamba_tpu.ops.sampling import SampleParams
+
+TRAINABLE = ("layers", "norm_f")
+
+
+def make_draft(params: Dict, cfg: MambaConfig, m_layers: int) -> Tuple[Dict, MambaConfig]:
+    """Trainable shallow draft: layer-skip init (first ``m_layers``), fp32
+    copies of the trainable subtrees so AdamW steps don't round to bf16."""
+    draft, draft_cfg = shallow_draft(params, cfg, m_layers)
+    draft = dict(draft)
+    for k in TRAINABLE:
+        # copy=True matters: shallow_draft's a[:m] is the SAME buffer when
+        # m == n_layer (and norm_f is always shared) — the train step
+        # donates these leaves, which would delete the target's params
+        draft[k] = jax.tree.map(
+            lambda a: jnp.array(a, jnp.float32, copy=True), draft[k]
+        )
+    return draft, draft_cfg
+
+
+def _split(draft: Dict) -> Tuple[Dict, Dict]:
+    train = {k: draft[k] for k in TRAINABLE}
+    frozen = {k: v for k, v in draft.items() if k not in TRAINABLE}
+    return train, frozen
+
+
+def generate_streams(
+    params: Dict,
+    cfg: MambaConfig,
+    key: jax.Array,
+    *,
+    batch: int,
+    prompt_len: int,
+    gen_len: int,
+    task: str = "mmu",
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Target greedy continuations of random prompts -> (B, L0+T) int32."""
+    ids = jax.random.randint(
+        key, (batch, prompt_len), 0, cfg.vocab_size, dtype=jnp.int32
+    )
+    emb = embed_text(params, ids, dtype)
+    out = generate(
+        params, cfg, input_ids=ids, input_embeddings=emb, task=task,
+        max_length=prompt_len + gen_len, sample=SampleParams(top_k=1),
+    )
+    return out.sequences
+
+
+def make_distill_step(
+    frozen: Dict,
+    draft_cfg: MambaConfig,
+    tx,
+    *,
+    prompt_len: int,
+    task: str = "mmu",
+    dtype=jnp.bfloat16,
+    scan_impl: str = "auto",
+):
+    """Jitted teacher-forced CE step on the draft's trainable subtrees."""
+    if scan_impl == "auto":
+        scan_impl = "pallas_ad" if jax.default_backend() == "tpu" else "chunked"
+
+    def loss_fn(train, seqs):
+        # fp32 master weights, model-dtype compute (bench_speculative.py
+        # overfit recipe): adam updates don't round to bf16 between steps
+        draft = {**frozen, **jax.tree.map(lambda a: a.astype(dtype), train)}
+        emb = embed_text(draft, seqs[:, :-1], dtype)
+        hidden, _ = backbone_forward(
+            draft, emb, task, draft_cfg, scan_impl=scan_impl
+        )
+        logits = apply_head(draft, hidden, task)  # (B, L-1, V) fp32
+        targets = seqs[:, 1:]
+        # only the generated region: position i predicts token i+1, so the
+        # first supervised position is prompt_len - 1
+        lp = jax.nn.log_softmax(logits[:, prompt_len - 1 :], axis=-1)
+        tgt = targets[:, prompt_len - 1 :]
+        nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        top1 = (jnp.argmax(lp, axis=-1) == tgt).mean()
+        return nll.mean(), top1
+
+    def step(train, opt_state, seqs):
+        (loss, top1), grads = jax.value_and_grad(loss_fn, has_aux=True)(train, seqs)
+        updates, opt_state = tx.update(grads, opt_state, train)
+        train = optax.apply_updates(train, updates)
+        return train, opt_state, {"loss": loss, "top1": top1}
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def distill_draft(
+    params: Dict,
+    cfg: MambaConfig,
+    *,
+    m_layers: int = 4,
+    steps: int = 200,
+    batch: int = 16,
+    prompt_len: int = 16,
+    gen_len: int = 112,
+    pool_batches: int = 4,
+    lr: float = 3e-4,
+    key: Optional[jax.Array] = None,
+    task: str = "mmu",
+    dtype=jnp.bfloat16,
+    scan_impl: str = "auto",
+    log_every: int = 25,
+    log=print,
+) -> Tuple[Dict, MambaConfig, Dict]:
+    """Full recipe; returns (draft_params, draft_cfg, metrics)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    kd, kt = jax.random.split(key)
+
+    gen_keys = jax.random.split(kd, pool_batches)
+    pool = [
+        generate_streams(
+            params, cfg, k, batch=batch, prompt_len=prompt_len,
+            gen_len=gen_len, task=task, dtype=dtype,
+        )
+        for k in gen_keys
+    ]
+    log(f"distill pool: {pool_batches} x {pool[0].shape} target streams")
+
+    draft, draft_cfg = make_draft(params, cfg, m_layers)
+    train, frozen = _split(draft)
+    tx = optax.adamw(lr, weight_decay=0.0)
+    opt_state = tx.init(train)
+    step = make_distill_step(
+        frozen, draft_cfg, tx,
+        prompt_len=prompt_len, task=task, dtype=dtype, scan_impl=scan_impl,
+    )
+
+    metrics = {}
+    for i in range(steps):
+        train, opt_state, metrics = step(train, opt_state, pool[i % pool_batches])
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            log(
+                f"  step {i}: CE {float(metrics['loss']):.3f} "
+                f"draft-top1 {float(metrics['top1']):.3f}"
+            )
+    out = {**frozen, **jax.tree.map(lambda a: a.astype(dtype), train)}
+    return out, draft_cfg, jax.tree.map(float, metrics)
+
+
+def acceptance_eval(
+    params: Dict,
+    cfg: MambaConfig,
+    draft_params: Dict,
+    draft_cfg: MambaConfig,
+    key: jax.Array,
+    *,
+    n_prompts: int = 4,
+    prompt_len: int = 16,
+    gen_len: int = 112,
+    k_draft: int = 8,
+    task: str = "mmu",
+    dtype=jnp.bfloat16,
+) -> Dict:
+    """Held-out acceptance + stream-identity check (B=1 per prompt)."""
+    spec = jax.jit(
+        lambda p, dp, ids, emb: speculative_generate(
+            p, cfg, input_ids=ids, input_embeddings=emb, task=task,
+            max_length=prompt_len + gen_len, draft_params=dp,
+            draft_cfg=draft_cfg, k_draft=k_draft,
+        )
+    )
+    plain = jax.jit(
+        lambda p, ids, emb: generate(
+            p, cfg, input_ids=ids, input_embeddings=emb, task=task,
+            max_length=prompt_len + gen_len, sample=SampleParams(top_k=1),
+        ).sequences
+    )
+    drafted = accepted = 0
+    identical = True
+    for i in range(n_prompts):
+        ids = jax.random.randint(
+            jax.random.fold_in(key, i), (1, prompt_len), 0, cfg.vocab_size,
+            dtype=jnp.int32,
+        )
+        emb = embed_text(params, ids, dtype)
+        out = spec(params, draft_params, ids, emb)
+        ref = plain(params, ids, emb)
+        n = int(out.num_generated)
+        identical = identical and bool(
+            np.array_equal(
+                np.asarray(out.sequences)[0, : prompt_len + n],
+                np.asarray(ref)[0, : prompt_len + n],
+            )
+        )
+        drafted += int(out.drafted)
+        accepted += int(out.accepted)
+    return {
+        "acceptance": accepted / max(drafted, 1),
+        "drafted": drafted,
+        "accepted": accepted,
+        "stream_identical": identical,
+    }

@@ -1,0 +1,130 @@
+"""Distill a shallow speculative-decode draft from the 1.3B target ON-CHIP,
+then measure single-stream decode speed + acceptance on held-out prompts.
+
+    python scripts/distill_draft.py [--layers 4] [--steps 300] [--k 8]
+        [--ckpt converted.npz]   # real weights when available
+
+VERDICT r3 item 4: prompt-lookup (ngram) drafts only pay on repetitive
+streams; this measures whether a self-distilled M-layer draft clears the
+plain-decode baseline (296 tok/s int8 at B=1) on NON-repetitive text.
+With random target weights the continuation distribution is near-uniform
+noise — expect the negative result (documented in README); with real
+weights the same script measures the real frontier. Break-even: a round
+costs ~(M/48)*K draft steps + 1 full verify pass, and commits
+1 + accepted tokens, so tok/s ≈ plain * (1 + acc*K) / (1 + K*M/48).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def sync(x):
+    import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    return np.asarray(leaf.ravel()[-1])
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=4)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--prompt-len", type=int, default=16)
+    p.add_argument("--gen-len", type=int, default=240)
+    p.add_argument("--pool-batches", type=int, default=4)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--k", type=int, default=8)
+    p.add_argument("--eval-prompts", type=int, default=4)
+    p.add_argument("--ckpt", default=None, help="converted .npz target weights")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/omnimamba_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    from omnimamba_tpu.config import MambaConfig
+    from omnimamba_tpu.models.backbone import embed_text, init_backbone
+    from omnimamba_tpu.models.generation import generate
+    from omnimamba_tpu.ops.sampling import SampleParams
+    from omnimamba_tpu.train.distill import acceptance_eval, distill_draft
+
+    cfg = MambaConfig()
+    t0 = time.time()
+    if args.ckpt:
+        from omnimamba_tpu.utils.checkpoint import load_params_npz
+
+        params = load_params_npz(args.ckpt)["mamba"]
+    else:
+        params = init_backbone(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    print(f"target params ready in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    t0 = time.time()
+    draft, draft_cfg, metrics = distill_draft(
+        params, cfg,
+        m_layers=args.layers, steps=args.steps, batch=args.batch,
+        prompt_len=args.prompt_len, gen_len=args.gen_len,
+        pool_batches=args.pool_batches, lr=args.lr,
+        key=jax.random.PRNGKey(1),
+        log=lambda s: print(s, file=sys.stderr),
+    )
+    print(f"distilled {args.layers}-layer draft in {time.time()-t0:.0f}s "
+          f"(final CE {metrics['loss']:.3f}, top1 {metrics['top1']:.3f})",
+          file=sys.stderr)
+
+    # --- held-out acceptance + stream identity -----------------------------
+    ev = acceptance_eval(
+        params, cfg, draft, draft_cfg, jax.random.PRNGKey(2),
+        n_prompts=args.eval_prompts, prompt_len=args.prompt_len,
+        gen_len=args.gen_len, k_draft=args.k,
+    )
+    print(f"held-out acceptance: {ev['acceptance']:.3f} "
+          f"({ev['accepted']}/{ev['drafted']}), "
+          f"stream_identical={ev['stream_identical']}")
+
+    # --- wall-clock: plain vs speculative-with-distilled-draft -------------
+    from omnimamba_tpu.models.speculative import speculative_generate
+
+    L0, T = args.prompt_len, args.gen_len
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, L0), 0, cfg.vocab_size,
+                             dtype=jnp.int32)
+    emb = embed_text(params, ids, jnp.bfloat16)
+
+    plain = jax.jit(
+        lambda p, i, e: generate(
+            p, cfg, input_ids=i, input_embeddings=e, task="mmu",
+            max_length=L0 + T, sample=SampleParams(top_k=1),
+        ).sequences
+    )
+    out = plain(params, ids, emb); sync(out)
+    t0 = time.time(); out = plain(params, ids, emb); sync(out)
+    tps_plain = T / (time.time() - t0)
+
+    spec = jax.jit(
+        lambda p, dp, i, e: speculative_generate(
+            p, cfg, input_ids=i, input_embeddings=e, task="mmu",
+            max_length=L0 + T, draft_params=dp, draft_cfg=draft_cfg,
+            k_draft=args.k,
+        )
+    )
+    o = spec(params, draft, ids, emb); sync(o.sequences)
+    t0 = time.time(); o = spec(params, draft, ids, emb); sync(o.sequences)
+    n = int(o.num_generated)
+    tps_spec = n / (time.time() - t0)
+    acc = int(o.accepted) / max(int(o.drafted), 1)
+    print(f"B=1 plain {tps_plain:.0f} tok/s | distilled-draft speculative "
+          f"{tps_spec:.0f} tok/s (acceptance {acc:.3f}, {n} tokens)")
+
+
+if __name__ == "__main__":
+    main()
