@@ -210,8 +210,10 @@ class OmniMambaService:
         else:
             blocks = np.stack(blocks)
         text_ids = jnp.asarray(blocks, jnp.int32)
-        top_k = int(payloads[0].get("top_k", 1))
-        temperature = float(payloads[0].get("temperature", 1.0))
+        # sampler settings are jit-cache keys: clamp/quantize client-supplied
+        # values so adversarial inputs can't force unbounded compilations
+        top_k = max(0, min(int(payloads[0].get("top_k", 1)), 64))
+        temperature = round(float(payloads[0].get("temperature", 1.0)), 2)
         ragged = text_lengths is not None
         jkey = ("t2i", text_ids.shape[1], ragged, top_k, temperature)
         if jkey not in self._jit:

@@ -96,11 +96,20 @@ def main():
 
     rows = load_manifest(args.manifest)
     t0 = time.time()
+    # soak instrumentation (VERDICT r3 item 6): per-segment rows/s exposes
+    # drift (a leaking device-feature LRU would slow later segments or OOM)
+    seg: list = [(0, t0)]
+
+    def progress(i, n):
+        print(f"\r{i}/{n}", end="", file=sys.stderr)
+        if i - seg[-1][0] >= 500:
+            seg.append((i, time.time()))
+
     rows = run_vqa_eval(
         params, model, uni, rows,
         image_root=args.image_root, max_new_tokens=args.max_new_tokens,
         multiple_choice=args.protocol == "mmmu",
-        progress=lambda i, n: print(f"\r{i}/{n}", end="", file=sys.stderr),
+        progress=progress,
     )
     dt = time.time() - t0
     print(
@@ -108,6 +117,19 @@ def main():
         "(includes compiles on a cold cache)",
         file=sys.stderr,
     )
+    if len(seg) > 1:
+        rates = [
+            f"{(b[0]-a[0])/max(b[1]-a[1], 1e-9):.2f}"
+            for a, b in zip(seg, seg[1:])
+        ]
+        print(f"segment rows/s (per 500): {' '.join(rates)}", file=sys.stderr)
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            print(f"peak HBM: {peak/2**30:.2f} GiB", file=sys.stderr)
+    except Exception:  # noqa: BLE001 — not all platforms expose stats
+        pass
     if args.out:
         with open(args.out, "w") as f:
             for r in rows:

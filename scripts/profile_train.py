@@ -226,6 +226,16 @@ def bench_decode(args):
     from omnimamba_tpu.ops.sampling import SampleParams
 
     cfg = MambaConfig()
+    if args.d_state:
+        # VERDICT r3 item 8: batched decode is SSM-state-traffic bound
+        # (B=32 bf16 state reads+writes 6.4 GB/step vs 2.9 GB weights);
+        # d_state=64 halves that traffic. Random weights — throughput only,
+        # to price the "retrain with smaller state" trade.
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, mixer=dataclasses.replace(cfg.mixer, d_state=args.d_state)
+        )
     t0 = time.time()
     params = init_backbone(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if args.int8:
@@ -287,6 +297,8 @@ def main():
     p.add_argument("--chunk", type=int, default=0)
     p.add_argument("--tokens", type=int, default=64)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--d-state", type=int, default=0,
+                   help="decode mode: override mixer d_state (e.g. 64)")
     p.add_argument("--trace", default=None)
     args = p.parse_args()
     if args.mode == "step":

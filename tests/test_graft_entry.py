@@ -12,6 +12,10 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.collective
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

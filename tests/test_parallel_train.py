@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.collective
+
 from omnimamba_tpu.config import TrainConfig
 from omnimamba_tpu.models.omnimamba import init_omnimamba
 from omnimamba_tpu.parallel.mesh import create_mesh

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.collective
 from jax.sharding import Mesh
 
 from omnimamba_tpu.ops.ssd_chunked import ssd_chunked
