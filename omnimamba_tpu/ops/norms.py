@@ -13,10 +13,17 @@ numerics contract:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Fused Pallas add+RMSNorm (ops/norms_pallas.py): one fwd pass + one bwd
+# pass over the activations instead of XLA's multi-pass schedule (~33 ms of
+# a 343 ms 1.3B train step vs a ~13 ms bandwidth floor, r3 trace). Opt-in
+# until its on-hardware A/B is recorded: OMNIMAMBA_PALLAS_NORM=1.
+_PALLAS_NORM = os.environ.get("OMNIMAMBA_PALLAS_NORM", "0") == "1"
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -57,6 +64,17 @@ def add_norm(
     new_residual = x + residual (fp32 if residual_in_fp32)
     normed       = Norm(new_residual) in x.dtype
     """
+    if (
+        _PALLAS_NORM
+        and is_rms
+        and prenorm
+        and residual_in_fp32
+        and bias is None
+        and x.ndim >= 2
+    ):
+        from omnimamba_tpu.ops.norms_pallas import fused_add_rms_norm
+
+        return fused_add_rms_norm(x, residual, weight, eps)
     res_dtype = jnp.float32 if residual_in_fp32 else x.dtype
     new_residual = x.astype(res_dtype) if residual is None else (
         x.astype(res_dtype) + residual.astype(res_dtype)
