@@ -97,6 +97,10 @@ def gated_rms_norm(
     This matches mamba_ssm's ``RMSNormGated`` as used inside ``Mamba2.forward``
     (external dep of reference; SURVEY §2.3 row 1).
     """
+    if _PALLAS_NORM and y.ndim >= 2 and y.shape == z.shape:
+        from omnimamba_tpu.ops.norms_pallas import fused_gated_rms_norm
+
+        return fused_gated_rms_norm(y, z, weight, eps)
     yf = y.astype(jnp.float32) * jax.nn.silu(z.astype(jnp.float32))
     var = jnp.mean(yf * yf, axis=-1, keepdims=True)
     out = yf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)

@@ -205,3 +205,111 @@ def _bwd_shared(eps, interpret, res, cts, *, has_res):
 
 _fused_res.defvjp(_vjp_fwd_res, _vjp_bwd_res)
 _fused_nores.defvjp(_vjp_fwd_nores, _vjp_bwd_nores)
+
+
+# ---------------------------------------------------------------------------
+# Gated RMSNorm (Mamba-2's RMSNormGated, norm_before_gate=False):
+#   out = RMSNorm(y * silu(z)) * w    on the (B, L, d_inner) mixer stream
+# ---------------------------------------------------------------------------
+
+
+def _gated_fwd_kernel(y_ref, z_ref, w_ref, out_ref, *, eps, d):
+    y = y_ref[...].astype(jnp.float32)
+    z = z_ref[...].astype(jnp.float32)
+    u = y * (z * jax.nn.sigmoid(z))
+    var = jnp.mean(u * u, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    out_ref[...] = (u * rstd * w_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _gated_bwd_kernel(y_ref, z_ref, g_ref, w_ref, dy_ref, dz_ref, dw_ref, *, eps, d):
+    y = y_ref[...].astype(jnp.float32)
+    z = z_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    w = w_ref[...].astype(jnp.float32)
+    sz = jax.nn.sigmoid(z)
+    silu = z * sz
+    u = y * silu
+    var = jnp.mean(u * u, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    wg = w * g
+    dot = jnp.sum(wg * u, axis=-1, keepdims=True)
+    du = wg * rstd - u * (rstd * rstd * rstd / d) * dot
+    dy_ref[...] = (du * silu).astype(dy_ref.dtype)
+    # d silu(z)/dz = sigmoid(z) * (1 + z * (1 - sigmoid(z)))
+    dz_ref[...] = (du * y * (sz * (1.0 + z * (1.0 - sz)))).astype(dz_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    dw_ref[...] = dw_ref[...] + jnp.sum(g * u * rstd, axis=0, keepdims=True)
+
+
+def fused_gated_rms_norm(
+    y: jax.Array, z: jax.Array, weight: jax.Array,
+    eps: float = 1e-5, interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Pallas RMSNorm(y * silu(z)) * weight; numerics of norms.gated_rms_norm."""
+    return _fused_gated(y, z, weight, eps, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_gated(y, z, weight, eps, interpret):
+    orig_shape = y.shape
+    d = orig_shape[-1]
+    y2 = y.reshape(-1, d)
+    rows = y2.shape[0]
+    R = _row_tile(rows, d)
+    rp = -(-rows // R) * R
+    y2 = _pad_rows(y2, rp)
+    z2 = _pad_rows(z.reshape(-1, d), rp)
+    row_spec = pl.BlockSpec((R, d), lambda i: (i, 0))
+    out = pl.pallas_call(
+        functools.partial(_gated_fwd_kernel, eps=eps, d=d),
+        grid=(rp // R,),
+        in_specs=[row_spec, row_spec, pl.BlockSpec((1, d), lambda i: (0, 0))],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rp, d), y.dtype),
+        interpret=_interp(interpret),
+    )(y2, z2, weight.reshape(1, d))
+    return out[:rows].reshape(orig_shape)
+
+
+def _gated_vjp_fwd(y, z, weight, eps, interpret):
+    return _fused_gated(y, z, weight, eps, interpret), (y, z, weight)
+
+
+def _gated_vjp_bwd(eps, interpret, res, g):
+    y, z, weight = res
+    orig_shape = y.shape
+    d = orig_shape[-1]
+    y2 = y.reshape(-1, d)
+    rows = y2.shape[0]
+    R = _row_tile(rows, d)
+    rp = -(-rows // R) * R
+    y2 = _pad_rows(y2, rp)
+    z2 = _pad_rows(z.reshape(-1, d), rp)
+    g2 = _pad_rows(g.reshape(-1, d), rp)
+    row_spec = pl.BlockSpec((R, d), lambda i: (i, 0))
+    dy, dz, dw = pl.pallas_call(
+        functools.partial(_gated_bwd_kernel, eps=eps, d=d),
+        grid=(rp // R,),
+        in_specs=[row_spec, row_spec, row_spec,
+                  pl.BlockSpec((1, d), lambda i: (0, 0))],
+        out_specs=[row_spec, row_spec, pl.BlockSpec((1, d), lambda i: (0, 0))],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, d), y.dtype),
+            jax.ShapeDtypeStruct((rp, d), z.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        interpret=_interp(interpret),
+    )(y2, z2, g2, weight.reshape(1, d))
+    return (
+        dy[:rows].reshape(orig_shape),
+        dz[:rows].reshape(orig_shape),
+        dw.reshape(weight.shape).astype(weight.dtype),
+    )
+
+
+_fused_gated.defvjp(_gated_vjp_fwd, _gated_vjp_bwd)

@@ -73,3 +73,38 @@ def test_env_switch_routes_add_norm(monkeypatch):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_gated_rms_norm_fwd_bwd(dtype):
+    from omnimamba_tpu.ops.norms import gated_rms_norm
+    from omnimamba_tpu.ops.norms_pallas import fused_gated_rms_norm
+
+    rng = np.random.default_rng(2)
+    B, L, d = 2, 11, 256
+    y = jnp.asarray(rng.standard_normal((B, L, d)), dtype)
+    z = jnp.asarray(rng.standard_normal((B, L, d)), dtype)
+    w = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32)
+
+    out_p = jax.jit(lambda *a: fused_gated_rms_norm(*a, 1e-5, True))(y, z, w)
+    out_r = gated_rms_norm(y, z, w)
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(out_p, np.float32), np.asarray(out_r, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+    def loss(f):
+        return lambda y, z, w: jnp.sum(
+            jnp.square(f(y, z, w).astype(jnp.float32))
+        )
+
+    gp = jax.jit(jax.grad(
+        loss(lambda y, z, w: fused_gated_rms_norm(y, z, w, 1e-5, True)),
+        argnums=(0, 1, 2)))(y, z, w)
+    gr = jax.jit(jax.grad(loss(gated_rms_norm), argnums=(0, 1, 2)))(y, z, w)
+    for a, b, n in zip(gp, gr, ["dy", "dz", "dw"]):
+        scale = max(float(jnp.max(jnp.abs(b.astype(jnp.float32)))), 1e-6)
+        err = float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - b.astype(jnp.float32)))) / scale
+        assert err < (1e-4 if dtype == jnp.float32 else 2e-2), (n, err)
