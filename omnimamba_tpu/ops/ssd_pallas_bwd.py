@@ -235,13 +235,27 @@ def _ssd_bwd_kernel(
             preferred_element_type=jnp.float32,
         )  # (P, N): Σ_t g_t e^{s_t} C_t — e^{s} rides the shared ge operand
 
-    # batched suffix: da_kh = Σ_{t≥k} r_th — one fp32 (Q,Q)@(Q,Hb) dot for
-    # the whole tile instead of Hb ones-matvecs
+    # batched suffix: da_kh = Σ_{t≥k} r_th — one (Q,Q)@(Q,Hb) dot for the
+    # whole tile instead of Hb ones-matvecs. fp32 MXU operands cost 3-6
+    # emulation passes, so on the bf16 path r splits into hi/lo bf16
+    # components (two native dots, fp32-exact to ~2^-16 relative: the mask
+    # operand is exactly representable and accumulation stays fp32).
     r_all = jnp.concatenate(r_cols, axis=1)  # (Q, Hb)
-    suffix = jax.lax.dot_general(
-        mask, r_all, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (Q, Hb): contract t, mask_tk = [t >= k]
+    if mxu_dtype == jnp.bfloat16:
+        r_hi = r_all.astype(jnp.bfloat16)
+        r_lo = (r_all - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        mask_b = mask.astype(jnp.bfloat16)
+        dims = (((0,), (0,)), ((), ()))  # contract t, mask_tk = [t >= k]
+        suffix = jax.lax.dot_general(
+            mask_b, r_hi, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            mask_b, r_lo, dims, preferred_element_type=jnp.float32
+        )
+    else:
+        suffix = jax.lax.dot_general(
+            mask, r_all, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Q, Hb)
     da_all = suffix + jnp.stack(bias_vals).reshape(1, hb)  # (Q, Hb)
     A_row = jnp.stack(A_vals).reshape(1, hb)
     ddt_all = A_row * da_all + jnp.stack(ksum_cols, axis=1)  # (Q, Hb)
