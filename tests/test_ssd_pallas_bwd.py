@@ -69,3 +69,34 @@ def test_pallas_ad_forward_matches():
     y2, s2 = ssd_pallas_ad(x, dt, A, Bm, Cm, D, 16, 2, True)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_bwd_bf16_inputs():
+    """bf16 inputs take the mxu_dtype=bf16 kernel path (folded bf16
+    operands + the hi/lo suffix-dot split) — grads must track the fp32
+    chunked-autodiff oracle at bf16 tolerance."""
+    x, dt, A, Bm, Cm, D = _random_ssd_inputs(jax.random.PRNGKey(3), **ARGS)
+    xb = x.astype(jnp.bfloat16)
+    Bb = Bm.astype(jnp.bfloat16)
+    Cb = Cm.astype(jnp.bfloat16)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    wy = jax.random.normal(k1, x.shape)
+    wstate = jax.random.normal(k2, (ARGS["B"], ARGS["H"], ARGS["P"], ARGS["N"]))
+
+    ref = _grads(
+        functools.partial(ssd_chunked, chunk_size=16), x, dt, A, Bm, Cm, D,
+        wy, wstate,
+    )
+    got = _grads(
+        functools.partial(ssd_pallas_ad, chunk_size=16, head_tile=2,
+                          interpret=True),
+        xb, dt, A, Bb, Cb, D, wy, wstate,
+    )
+    names = ["dx", "ddt", "dA", "dB", "dC", "dD"]
+    for n, r, g in zip(names, ref, got):
+        r = np.asarray(r, np.float32)
+        g = np.asarray(g, np.float32)
+        scale = max(np.abs(r).max(), 1e-6)
+        assert np.abs(g - r).max() / scale < 6e-2, (
+            n, float(np.abs(g - r).max() / scale)
+        )
