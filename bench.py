@@ -117,7 +117,43 @@ def section(name: str, est_cold_s: float):
     return runner
 
 
+def wait_for_backend():
+    """Probe backend init in a short-timeout subprocess before committing
+    this process to it. Measured failure modes on the axon tunnel: a hang
+    (>30 min, r3) and a 22-min-delayed UNAVAILABLE raise (r4) — both burn
+    the whole driver window with nothing on stdout. Probing in a child
+    bounds each attempt and leaves retries + evidence on the clock."""
+    import subprocess
+
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import sys; sys.path.insert(0, %r)\n"
+                 "import jax\n"
+                 "print(jax.devices()[0])" % os.path.dirname(os.path.abspath(__file__))],
+                capture_output=True, text=True, timeout=240,
+            )
+            ok = proc.returncode == 0
+            note = (proc.stdout or proc.stderr).strip().splitlines()[-1:] or [""]
+            log(f"[bench] backend probe {attempt}: "
+                f"{'ok' if ok else 'FAILED'} in {time.time()-t0:.0f}s ({note[0]})")
+            if ok:
+                return True
+        except subprocess.TimeoutExpired:
+            log(f"[bench] backend probe {attempt}: timed out (tunnel hung)")
+        if remaining() < 500:
+            log("[bench] giving up: backend unavailable within the budget")
+            return False
+        time.sleep(min(60.0, max(remaining() - 480, 1.0)))
+
+
 def main():
+    if not wait_for_backend():
+        return
     import jax
     import jax.numpy as jnp
 
