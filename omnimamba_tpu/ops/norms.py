@@ -26,6 +26,16 @@ import jax.numpy as jnp
 _PALLAS_NORM = os.environ.get("OMNIMAMBA_PALLAS_NORM", "0") == "1"
 
 
+def _pallas_worthwhile(x) -> bool:
+    """Kernel-dispatch guard: the Pallas path wins on big training/prefill
+    activations; the one-token decode step ((B, d) rows) is latency-bound
+    where a separate kernel launch loses to XLA's inline fusion."""
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    return rows >= 256
+
+
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
     """RMSNorm with fp32 statistics; output in x.dtype."""
     xf = x.astype(jnp.float32)
@@ -71,6 +81,7 @@ def add_norm(
         and residual_in_fp32
         and bias is None
         and x.ndim >= 2
+        and _pallas_worthwhile(x)
     ):
         from omnimamba_tpu.ops.norms_pallas import fused_add_rms_norm
 
@@ -97,7 +108,7 @@ def gated_rms_norm(
     This matches mamba_ssm's ``RMSNormGated`` as used inside ``Mamba2.forward``
     (external dep of reference; SURVEY §2.3 row 1).
     """
-    if _PALLAS_NORM and y.ndim >= 2 and y.shape == z.shape:
+    if _PALLAS_NORM and y.ndim >= 2 and y.shape == z.shape and _pallas_worthwhile(y):
         from omnimamba_tpu.ops.norms_pallas import fused_gated_rms_norm
 
         return fused_gated_rms_norm(y, z, weight, eps)

@@ -64,11 +64,14 @@ def test_env_switch_routes_add_norm(monkeypatch):
     import omnimamba_tpu.ops.norms as norms
 
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.standard_normal((2, 4, 128)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 200, 128)), jnp.float32)
     w = jnp.ones((128,), jnp.float32)
     ref_out, ref_y = norms.add_norm(x, None, w)
     monkeypatch.setattr(norms, "_PALLAS_NORM", True)
     out, y = norms.add_norm(x, None, w)
+    # small decode-step shapes must stay on the XLA path (kernel-launch
+    # latency loses at one token per step)
+    assert not norms._pallas_worthwhile(x[:, :1])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
