@@ -106,6 +106,20 @@ def _ssd_bwd_kernel(
     maskb = row >= col  # [t >= j]
     mask = maskb.astype(jnp.float32)
 
+    # Sub-tile decomposition of the causal (Q, Q) block (MXU-width tiles):
+    # strictly-upper tiles are all-zero and DROP OUT of every dot (1/3 of
+    # the per-head Q² FLOPs at Q=384), and each strictly-lower tile's decay
+    # factors EXACTLY as e^{s_t - s_j} = e^{s_t - s_m} · e^{s_m - s_j} with
+    # m the source tile's last row (both exponents <= 0 — no clamps), so
+    # only the nt diagonal tiles pay the (T, T) exp. Falls back to the
+    # monolithic path when Q isn't a multiple of 128.
+    TT = 128
+    nt = Q // TT if (Q % TT == 0 and Q >= 2 * TT) else 0
+    if nt:
+        trow = jax.lax.broadcasted_iota(jnp.int32, (TT, TT), 0)
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (TT, TT), 1)
+        maskb_t = trow >= tcol
+
     # scores_tj = C_t · B_j — shared across the group's tiles (ngroups=1 in
     # every shipped config), so compute once per (batch, chunk, group)
     @pl.when(first_in_group)
@@ -148,12 +162,6 @@ def _ssd_bwd_kernel(
         s_row = S_rows[h : h + 1, :]  # (1, Q), s_j on lanes
         total = s_col[Q - 1, 0]
 
-        # decay pairs: mask fused into the exp argument (one select; the
-        # old mask-multiply + min clamp were two extra (Q,Q) passes —
-        # s is a cumsum of non-positives, so diff <= 0 holds exactly in fp
-        # for t >= j and the clamp only ever guarded MASKED entries)
-        w = jnp.exp(jnp.where(maskb, s_col - s_row, -jnp.inf))  # (Q,Q) (t,j)
-        wb = w.astype(mxu_dtype)
         es_row = jnp.exp(s_row)  # (1, Q)
         carry_row = jnp.exp(total - s_row)  # (1, Q), e^{tot - s_j}
         etot = jnp.exp(total)
@@ -169,32 +177,80 @@ def _ssd_bwd_kernel(
         ge_mx = (gf * es_row).astype(mxu_dtype)
         xc_mx = (xf * (dt_row * carry_row)).astype(mxu_dtype)
 
-        Gxd = jax.lax.dot_general(  # Gxd_tj = g_t · x_j dt_j
-            g_mx, xd_mx, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Q, Q)
-        Gxdw = (Gxd * w).astype(mxu_dtype)
-        SW = (scores * w).astype(mxu_dtype)
+        P = gT.shape[0]
+        Nn = Bmx.shape[1]
+        f32 = jnp.float32
+        dims_p = (((0,), (0,)), ((), ()))  # contract the P (sublane) dim
+        dims_t = (((1,), (0,)), ((), ()))  # contract the t dim (lhs lanes)
+        if nt:
+            # tiled: lower-triangle (TT, TT) tiles only
+            dC1_rows = []
+            dB1_accs = [jnp.zeros((TT, Nn), f32) for _ in range(nt)]
+            Kt_accs = [jnp.zeros((P, TT), f32) for _ in range(nt)]
+            for it in range(nt):
+                g_blk = g_mx[:, it * TT : (it + 1) * TT]  # (P, TT)
+                C_blk = Cmx[it * TT : (it + 1) * TT]  # (TT, N)
+                sc_blk = s_col[it * TT : (it + 1) * TT]  # (TT, 1)
+                accC = jnp.zeros((TT, Nn), f32)
+                for jt in range(it + 1):
+                    xd_blk = xd_mx[:, jt * TT : (jt + 1) * TT]
+                    B_blk = Bmx[jt * TT : (jt + 1) * TT]
+                    sr_blk = s_row[:, jt * TT : (jt + 1) * TT]  # (1, TT)
+                    St = scores[it * TT : (it + 1) * TT, jt * TT : (jt + 1) * TT]
+                    Gt = jax.lax.dot_general(
+                        g_blk, xd_blk, dims_p, preferred_element_type=f32
+                    )  # (TT, TT): g_t · dt_j x_j
+                    if it == jt:
+                        wt = jnp.exp(
+                            jnp.where(maskb_t, sc_blk - sr_blk, -jnp.inf)
+                        )
+                    else:
+                        sm = s_col[jt * TT + TT - 1, 0]  # source tile end
+                        wt = jnp.exp(sc_blk - sm) * jnp.exp(sm - sr_blk)
+                    gw = (Gt * wt).astype(mxu_dtype)
+                    sw = (St * wt).astype(mxu_dtype)
+                    accC = accC + jax.lax.dot_general(
+                        gw, B_blk, dims_t, preferred_element_type=f32
+                    )
+                    dB1_accs[jt] = dB1_accs[jt] + jax.lax.dot_general(
+                        gw, C_blk, dims_p, preferred_element_type=f32
+                    )
+                    Kt_accs[jt] = Kt_accs[jt] + jax.lax.dot_general(
+                        g_blk, sw, dims_t, preferred_element_type=f32
+                    )
+                dC1_rows.append(accC)
+            dC1 = jnp.concatenate(dC1_rows, axis=0)  # (Q, N)
+            dB1d = jnp.concatenate(dB1_accs, axis=0)  # (Q, N)
+            Kt1 = jnp.concatenate(Kt_accs, axis=1)  # (P, Q)
+        else:
+            # monolithic fallback: mask fused into the exp argument (s is a
+            # cumsum of non-positives, so diff <= 0 holds exactly in fp for
+            # t >= j; the select only guards MASKED entries)
+            w = jnp.exp(jnp.where(maskb, s_col - s_row, -jnp.inf))
+            Gxd = jax.lax.dot_general(  # Gxd_tj = g_t · x_j dt_j
+                g_mx, xd_mx, dims_p, preferred_element_type=f32
+            )  # (Q, Q)
+            Gxdw = (Gxd * w).astype(mxu_dtype)
+            SW = (scores * w).astype(mxu_dtype)
+            dC1 = jax.lax.dot_general(  # (Gxd ∘ w) @ B
+                Gxdw, Bmx, dims_t, preferred_element_type=f32
+            )
+            dB1d = jax.lax.dot_general(  # (Gxd ∘ w)ᵀ @ C, contract t —
+                Gxdw, Cmx, dims_p, preferred_element_type=f32
+            )  # the dt_col scale rides xd
+            Kt1 = jax.lax.dot_general(  # K_j = Σ_t SW_tj g_t
+                g_mx, SW, dims_t, preferred_element_type=f32
+            )  # (P, Q)
 
         # --- dC ---------------------------------------------------------
-        dC_h = jax.lax.dot_general(  # (Gxd ∘ w) @ B
-            Gxdw, Bmx, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dC_h = dC_h + jax.lax.dot_general(  # e^{s_t} g_t h_in
-            ge_mx, h_mx, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dC_h = dC1 + jax.lax.dot_general(  # e^{s_t} g_t h_in
+            ge_mx, h_mx, dims_p, preferred_element_type=f32
         )
         dC_acc = dC_acc + dC_h
 
         # --- dB ---------------------------------------------------------
-        dB1d = jax.lax.dot_general(  # (Gxd ∘ w)ᵀ @ C, contract t — the
-            Gxdw, Cmx, (((0,), (0,)), ((), ())),  # dt_col scale rides xd
-            preferred_element_type=jnp.float32,
-        )
         dB2 = jax.lax.dot_general(  # dt_j e^{tot-s_j} (x_j · adj)
-            xc_mx, adj_mx, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            xc_mx, adj_mx, dims_p, preferred_element_type=f32
         )
         dB_h = dB1d + dB2
         dB_acc = dB_acc + dB_h
@@ -202,13 +258,9 @@ def _ssd_bwd_kernel(
         # --- K, dx ------------------------------------------------------
         Wt = jax.lax.dot_general(  # Wt_pj = (adj B_jᵀ)_p
             adj_mx, Bmx, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=f32,
         )  # (P, Q)
-        Kt = jax.lax.dot_general(  # K_j = Σ_t SW_tj g_t
-            g_mx, SW, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (P, Q)
-        Kt = Kt + carry_row * Wt
+        Kt = Kt1 + carry_row * Wt
         dx_ref[0, h] = (dt_row * Kt).astype(dx_ref.dtype)
 
         # --- da: decay cotangent folded into dC/dB (see module docstring)

@@ -100,3 +100,29 @@ def test_pallas_bwd_bf16_inputs():
         assert np.abs(g - r).max() / scale < 6e-2, (
             n, float(np.abs(g - r).max() / scale)
         )
+
+
+@pytest.mark.parametrize("L", [48, 300])
+def test_pallas_bwd_subtiled_q256(L):
+    """Q=256 triggers the 128-wide sub-tile decomposition (upper tiles
+    dropped, off-diagonal decay factored at the source-tile boundary) —
+    grads must match the monolithic math exactly up to fp tolerance."""
+    args = dict(ARGS, L=L)
+    x, dt, A, Bm, Cm, D = _random_ssd_inputs(jax.random.PRNGKey(5), **args)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+    wy = jax.random.normal(k1, x.shape)
+    wstate = jax.random.normal(k2, (args["B"], args["H"], args["P"], args["N"]))
+
+    ref = _grads(
+        functools.partial(ssd_chunked, chunk_size=256), x, dt, A, Bm, Cm, D,
+        wy, wstate,
+    )
+    got = _grads(
+        functools.partial(ssd_pallas_ad, chunk_size=256, head_tile=2,
+                          interpret=True),
+        x, dt, A, Bm, Cm, D, wy, wstate,
+    )
+    for n, r, g in zip(["dx", "ddt", "dA", "dB", "dC", "dD"], ref, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-3, atol=2e-3, err_msg=n
+        )
