@@ -103,11 +103,22 @@ def _ssd_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)  # t (target)
     causal = (col >= row).astype(jnp.float32)  # [t >= j]
 
+    # Sub-tile decomposition (see ssd_pallas_bwd for the derivation): with
+    # 128-wide tiles the strictly-lower (j > t) tiles drop out of the yT
+    # dot entirely and strictly-upper tiles factor their decay exactly at
+    # the source tile's boundary — only diagonal tiles pay the (T, T) exp.
+    TT = 128
+    nt = Q // TT if (Q % TT == 0 and Q >= 2 * TT) else 0
+
     # scoresT_jt = C_t . B_j, shared across the tile's heads (ngroups=1)
     scoresT = jax.lax.dot_general(
         Bmx, Cmx, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Q, Q) indexed (j, t)
     masked_scoresT = (scoresT * causal).astype(mxu_dtype)
+    if nt:
+        trow = jax.lax.broadcasted_iota(jnp.int32, (TT, TT), 0)  # j
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (TT, TT), 1)  # t
+        maskb_t = tcol >= trow
 
     bt = pl.program_id(0)
     b = bt // tiles_per_batch
@@ -129,11 +140,33 @@ def _ssd_kernel(
         s_t = S_rows[h : h + 1, :]  # (1, Q) target decay cumsum
         total = s_j[Q - 1, 0]
 
-        decayT = jnp.exp(jnp.minimum(s_t - s_j, 0.0))  # (Q, Q) (j, t)
-        WT = masked_scoresT * decayT.astype(mxu_dtype)
-        yT = jnp.dot(
-            dtx_all[h].astype(mxu_dtype), WT, preferred_element_type=jnp.float32
-        )  # (P, Q)
+        if nt:
+            dtx_mx = dtx_all[h].astype(mxu_dtype)  # (P, Q)
+            y_cols = []
+            for tt in range(nt):  # target tile
+                st_blk = s_t[:, tt * TT : (tt + 1) * TT]  # (1, TT)
+                acc = jnp.zeros((dtx_mx.shape[0], TT), jnp.float32)
+                for jt in range(tt + 1):  # source tile (j <= t)
+                    sj_blk = s_j[jt * TT : (jt + 1) * TT]  # (TT, 1)
+                    St = scoresT[jt * TT : (jt + 1) * TT, tt * TT : (tt + 1) * TT]
+                    if jt == tt:
+                        wt = jnp.exp(jnp.where(maskb_t, st_blk - sj_blk, -jnp.inf))
+                    else:
+                        sm = s_j[jt * TT + TT - 1, 0]  # source tile end
+                        wt = jnp.exp(sm - sj_blk) * jnp.exp(st_blk - sm)
+                    acc = acc + jnp.dot(
+                        dtx_mx[:, jt * TT : (jt + 1) * TT],
+                        (St * wt).astype(mxu_dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                y_cols.append(acc)
+            yT = jnp.concatenate(y_cols, axis=1)  # (P, Q)
+        else:
+            decayT = jnp.exp(jnp.minimum(s_t - s_j, 0.0))  # (Q, Q) (j, t)
+            WT = masked_scoresT * decayT.astype(mxu_dtype)
+            yT = jnp.dot(
+                dtx_all[h].astype(mxu_dtype), WT, preferred_element_type=jnp.float32
+            )  # (P, Q)
 
         state = state_ref[h]  # (P, N) fp32
         y_interT = jax.lax.dot_general(
