@@ -222,10 +222,14 @@ def ssd_pallas(
     rep = H // G
     if head_tile is None:
         # v5e sweep at 1.3B geometry: Hb=16 beats 8 by ~15% (fewer grid
-        # steps; scores reuse amortized further)
-        head_tile = min(16, rep)
+        # steps; scores reuse amortized further). Largest divisor of rep
+        # <= 16 so odd group geometries never auto-pick a spanning tile.
+        head_tile = next(d for d in (16, 8, 4, 2, 1) if rep % d == 0)
     Hb = head_tile
-    assert rep % Hb == 0, "head_tile must divide heads-per-group"
+    if rep % Hb != 0:
+        raise ValueError(
+            f"head_tile={Hb} must divide heads-per-group (H={H} / G={G} = {rep})"
+        )
     HT = H // Hb  # tiles per batch; each tile lies inside one group
 
     if pad:

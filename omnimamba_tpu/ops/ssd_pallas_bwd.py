@@ -497,6 +497,14 @@ def _bwd(chunk_size, head_tile, interpret, res, cts):
     # 2.00 ms for ht=16, at every chunk size swept (scripts/profile_train.py
     # ssd). The tile must divide rep: pick the largest divisor <= 64.
     if head_tile is not None:
+        # A tile that spans a B/C group boundary would read one group's
+        # B/C block for all its heads (silent wrong grads when G>1), and a
+        # non-dividing tile crashes the layout reshapes — reject both.
+        if rep % head_tile != 0:
+            raise ValueError(
+                f"head_tile={head_tile} must divide heads-per-group "
+                f"(H={H} / G={G} = {rep})"
+            )
         ht = head_tile
     else:
         ht = next(d for d in (64, 32, 16, 8, 4, 2, 1) if rep % d == 0)

@@ -126,3 +126,42 @@ def test_pallas_bwd_subtiled_q256(L):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), rtol=2e-3, atol=2e-3, err_msg=n
         )
+
+
+def test_pallas_bwd_rejects_group_spanning_head_tile():
+    """An explicit head_tile that doesn't divide heads-per-group would make
+    a tile read the wrong B/C group (silent wrong grads) — must raise."""
+    args = dict(ARGS, H=2)  # G=2 -> rep=1; head_tile=2 spans groups
+    x, dt, A, Bm, Cm, D = _random_ssd_inputs(jax.random.PRNGKey(9), **args)
+
+    def loss(x):
+        y, _ = ssd_pallas_ad(x, dt, A, Bm, Cm, D, 16, 2, True)
+        return jnp.sum(jnp.square(y))
+
+    with pytest.raises(ValueError, match="heads-per-group"):
+        jax.grad(loss)(x)
+
+
+def test_pallas_bwd_subtiled_q384():
+    """Q=384 (the production chunk pick) is the first odd tile count
+    (nt=3): distance-2 off-diagonal tiles and a non-final diagonal tile
+    both appear, neither of which Q=256 exercises."""
+    args = dict(ARGS, B=1, L=768, H=2, G=1)
+    x, dt, A, Bm, Cm, D = _random_ssd_inputs(jax.random.PRNGKey(7), **args)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(8))
+    wy = jax.random.normal(k1, x.shape)
+    wstate = jax.random.normal(k2, (args["B"], args["H"], args["P"], args["N"]))
+
+    ref = _grads(
+        functools.partial(ssd_chunked, chunk_size=384), x, dt, A, Bm, Cm, D,
+        wy, wstate,
+    )
+    got = _grads(
+        functools.partial(ssd_pallas_ad, chunk_size=384, head_tile=2,
+                          interpret=True),
+        x, dt, A, Bm, Cm, D, wy, wstate,
+    )
+    for n, r, g in zip(["dx", "ddt", "dA", "dB", "dC", "dD"], ref, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-3, atol=2e-3, err_msg=n
+        )
