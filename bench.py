@@ -69,6 +69,8 @@ class Record:
             "mmu_tok_per_sec_b1_int8": None,
             "train_step_ms_b8": None,
             "train_mfu_pct": None,
+            "mixed_step_ms": None,
+            "mixed_mfu_pct": None,
         }
 
     def emit(self):
@@ -326,19 +328,22 @@ def main():
             f"{REC.extra['mmu_tok_per_sec_b1_int8']:.0f} tok/s"
         )
 
+    def free_serving():
+        # train state (bf16 params + adamw moments + step working set)
+        # needs most of the 16G HBM — drop the serving params first
+        nonlocal params
+        import gc
+
+        qparams_box.clear()
+        params = None
+        gc.collect()
+
     # train-step throughput (1.3B t2i B=8, trainer auto-remat -> proj_ssd).
     # Largest compile (~7 min cold, seconds warm via the persistent cache);
     # runs last and only if the budget still covers the cold case.
     @section("train_step_b8", est_cold_s=540)
     def _train():
-        # free the serving params first — train state (bf16 params + adamw
-        # moments + step working set) needs most of the 16G HBM
-        nonlocal params
-        import gc
-
-        qparams_box.clear()
-        del params
-        gc.collect()
+        free_serving()
         from omnimamba_tpu.config import TrainConfig
         from omnimamba_tpu.models.omnimamba import init_omnimamba
         from omnimamba_tpu.train.trainer import create_train_state, make_train_step
@@ -378,6 +383,72 @@ def main():
         log(
             f"train step B=8: {REC.extra['train_step_ms_b8']:.0f} ms  "
             f"MFU {REC.extra['train_mfu_pct']:.1f}%"
+        )
+
+    # stage-2 MIXED step (the reference's flagship training config,
+    # config_stage2.yaml scaled per-chip: t2i B=6 + one mmu row spliced to
+    # 4+729+449=1182 positions, frozen DinoSigLIP towers). Per-flow remat
+    # resolution (r4): t2i flow keeps proj_ssd, mmu flow full remat.
+    @section("mixed_step", est_cold_s=600)
+    def _mixed():
+        free_serving()
+        from omnimamba_tpu.config import TrainConfig
+        from omnimamba_tpu.models.omnimamba import init_omnimamba
+        from omnimamba_tpu.train.trainer import create_train_state, make_train_step
+
+        mcfg = MambaConfig(mmu_task=True)
+        mmodel = OmniMambaModel(
+            cfg=mcfg, vision_cfg=VisionConfig(), vq_cfg=vq_cfg, sptids={}
+        )
+        mtcfg = TrainConfig(stage="finetune", t2i_task=True, mmu_task=True)
+        mparams = init_omnimamba(
+            jax.random.PRNGKey(0), mmodel, dtype=jnp.bfloat16, with_vq=False
+        )
+        state, tx = create_train_state(mparams, mtcfg)
+        step_fn = make_train_step(mmodel, tx, mtcfg, dtype=jnp.bfloat16)
+        side = mmodel.vision_cfg.dino.img_size
+        Bm = 6
+        mb = {
+            "t2i_flow": {
+                "inputs": jnp.asarray(rng.integers(0, 16384, (Bm, 256)), jnp.int32),
+                "caption_ids": jnp.asarray(
+                    rng.integers(0, cfg.vocab_size, (Bm, 73)), jnp.int32
+                ),
+            },
+            "mmu_flow": {
+                "pixel_values": {
+                    "dino": jnp.asarray(
+                        rng.normal(size=(1, side, side, 3)), jnp.float32
+                    ),
+                    "siglip": jnp.asarray(
+                        rng.normal(size=(1, side, side, 3)), jnp.float32
+                    ),
+                },
+                "input_ids": jnp.asarray(
+                    rng.integers(0, cfg.vocab_size, (1, 449)), jnp.int32
+                ),
+                "labels": jnp.asarray(
+                    rng.integers(0, cfg.vocab_size, (1, 449)), jnp.int32
+                ),
+                "multimodal_mask": jnp.asarray([True]),
+            },
+        }
+        tkey = jax.random.PRNGKey(1)
+        state, m = step_fn(state, mb, tkey)
+        sync(m)
+        t0 = time.time()
+        for _ in range(3):
+            state, m = step_fn(state, mb, tkey)
+        sync(m)
+        dt_mx = (time.time() - t0) / 3
+        n_mx = sum(x.size for x in jax.tree.leaves(mparams["mamba"]))
+        tokens = Bm * 329 + 1182
+        REC.extra["mixed_step_ms"] = dt_mx * 1e3
+        REC.extra["mixed_mfu_pct"] = 6 * n_mx * tokens / dt_mx / 197e12 * 100
+        log(
+            f"stage-2 mixed step (t2i B={Bm} + mmu 1182tok): "
+            f"{REC.extra['mixed_step_ms']:.0f} ms  "
+            f"MFU {REC.extra['mixed_mfu_pct']:.1f}%"
         )
 
     log(f"[bench] finished with {remaining():.0f}s budget left")

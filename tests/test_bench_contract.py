@@ -40,6 +40,8 @@ def test_headline_emits_parseable_json_with_extras(monkeypatch, capsys):
         "mmu_tok_per_sec_b1_int8",
         "train_step_ms_b8",
         "train_mfu_pct",
+        "mixed_step_ms",
+        "mixed_mfu_pct",
     }
     # unmeasured sections stay null, never crash the emit
     assert rec["extra"]["train_step_ms_b8"] is None
