@@ -19,6 +19,26 @@ def test_pallas_matches_reference(L, Q):
     np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("L,Q", [(300, 256), (768, 384)])
+def test_pallas_subtiled_matches_reference(L, Q):
+    """Q>=256 activates the 128-wide sub-tile decomposition of the causal
+    block in the FORWARD kernel (Q=256: nt=2 + ragged tail padding; Q=384:
+    nt=3, distance-2 off-diagonal tiles). The backward-side grad tests
+    can't see forward output errors (linear loss -> constant cotangents),
+    so parity is asserted here directly."""
+    x, dt, A, Bm, Cm, D = _random_ssd_inputs(
+        jax.random.PRNGKey(4), B=1, L=L, H=2, P=8, G=1, N=16
+    )
+    y_ref, s_ref = ssd_scan_reference(x, dt, A, Bm, Cm, D)
+    y_pal, s_pal = ssd_pallas(x, dt, A, Bm, Cm, D, chunk_size=Q, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y_pal), np.asarray(y_ref), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_pal), np.asarray(s_ref), rtol=2e-3, atol=2e-3
+    )
+
+
 def test_pallas_no_D():
     x, dt, A, Bm, Cm, _ = _random_ssd_inputs(jax.random.PRNGKey(1), B=1, L=16, H=2, P=8, G=1, N=8)
     y_ref, _ = ssd_scan_reference(x, dt, A, Bm, Cm, None)
