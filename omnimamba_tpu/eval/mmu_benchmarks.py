@@ -130,9 +130,10 @@ def mmmu_extract_letter(pred: str, options: Sequence[str]) -> Optional[str]:
     matched the English article in 'a dog' as option A before the
     option-text fallback could run. Now: (1) anchored letter forms —
     '(A)', 'A.', 'A)', 'A:' — any case; (2) exact normalized option-text
-    match; (3) UPPERCASE standalone letter only (a bare lowercase 'a'/'b'
-    is far more likely prose than an answer); (4) unique option-text
-    containment."""
+    match; (3) LAST uppercase standalone letter (a bare lowercase 'a'/'b'
+    is far more likely prose than an answer, and a sentence-initial
+    capitalized article in 'A dog ... the answer is C' must not shadow
+    the trailing answer); (4) unique option-text containment."""
     k = len(options)
     letters = _MMMU_LETTERS[:k]
     s = pred.strip()
@@ -145,9 +146,9 @@ def mmmu_extract_letter(pred: str, options: Sequence[str]) -> Optional[str]:
     hits = [i for i, o in enumerate(options) if _normalize(str(o)) == p]
     if len(hits) == 1:
         return _MMMU_LETTERS[hits[0]]
-    m = re.search(rf"\b([{letters}])\b", s)  # uppercase only
-    if m:
-        return m.group(1)
+    bare = re.findall(rf"\b([{letters}])\b", s)  # uppercase only
+    if bare:
+        return bare[-1]
     # substring fallback (unique containment only)
     hits = [i for i, o in enumerate(options) if _normalize(str(o)) and _normalize(str(o)) in p]
     if len(hits) == 1:

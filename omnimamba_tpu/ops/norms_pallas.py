@@ -140,6 +140,9 @@ def _fwd_impl(x, residual, weight, eps, interpret):
 
 
 def _vjp_fwd_res(x, residual, weight, eps, interpret):
+    # symbolic_zeros=True (needed so _bwd_shared ever SEES a SymbolicZero
+    # dres) wraps each diff primal in a CustomVJPPrimal
+    x, residual, weight = x.value, residual.value, weight.value
     out, y = _fwd_impl(x, residual, weight, eps, interpret)
     # y is the model's own residual stream: pinning it as the VJP residual
     # adds no HBM beyond what the block carries anyway
@@ -147,6 +150,7 @@ def _vjp_fwd_res(x, residual, weight, eps, interpret):
 
 
 def _vjp_fwd_nores(x, weight, eps, interpret):
+    x, weight = x.value, weight.value
     out, y = _fwd_impl(x, None, weight, eps, interpret)
     return (out, y), (y, weight)
 
@@ -164,6 +168,10 @@ def _vjp_bwd_nores(eps, interpret, res, cts):
 def _bwd_shared(eps, interpret, res, cts, *, has_res):
     y, weight = res
     g, dres = cts  # cotangents of (normed, y); g.dtype == x.dtype
+    if isinstance(g, jax.custom_derivatives.SymbolicZero):
+        # normed output unused downstream (rare — e.g. a probe on the
+        # residual stream only); materialize and take the normal path
+        g = jnp.zeros(g.shape, g.dtype)
     x_dtype = g.dtype
     orig_shape = y.shape
     d = orig_shape[-1]
@@ -203,8 +211,8 @@ def _bwd_shared(eps, interpret, res, cts, *, has_res):
     return dx, dy_res, dw.reshape(weight.shape).astype(weight.dtype)
 
 
-_fused_res.defvjp(_vjp_fwd_res, _vjp_bwd_res)
-_fused_nores.defvjp(_vjp_fwd_nores, _vjp_bwd_nores)
+_fused_res.defvjp(_vjp_fwd_res, _vjp_bwd_res, symbolic_zeros=True)
+_fused_nores.defvjp(_vjp_fwd_nores, _vjp_bwd_nores, symbolic_zeros=True)
 
 
 # ---------------------------------------------------------------------------

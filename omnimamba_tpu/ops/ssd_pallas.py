@@ -99,10 +99,6 @@ def _ssd_kernel(
     S_cols = scol_ref[0]  # (Q, Hb) fp32
     S_rows = srow_ref[0]  # (Hb, Q) fp32
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)  # j (source)
-    col = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)  # t (target)
-    causal = (col >= row).astype(jnp.float32)  # [t >= j]
-
     # Sub-tile decomposition (see ssd_pallas_bwd for the derivation): with
     # 128-wide tiles the strictly-lower (j > t) tiles drop out of the yT
     # dot entirely and strictly-upper tiles factor their decay exactly at
@@ -114,11 +110,17 @@ def _ssd_kernel(
     scoresT = jax.lax.dot_general(
         Bmx, Cmx, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Q, Q) indexed (j, t)
-    masked_scoresT = (scoresT * causal).astype(mxu_dtype)
     if nt:
         trow = jax.lax.broadcasted_iota(jnp.int32, (TT, TT), 0)  # j
         tcol = jax.lax.broadcasted_iota(jnp.int32, (TT, TT), 1)  # t
         maskb_t = tcol >= trow
+    else:
+        # (Q, Q) causal mask + full-matrix masked scores: only the
+        # monolithic small-Q path consumes these
+        row = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)  # j (source)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)  # t (target)
+        causal = (col >= row).astype(jnp.float32)  # [t >= j]
+        masked_scoresT = (scoresT * causal).astype(mxu_dtype)
 
     bt = pl.program_id(0)
     b = bt // tiles_per_batch

@@ -83,14 +83,16 @@ class _Batcher(threading.Thread):
         return self._run(payload, timeout)
 
     def _run(self, payload: Dict, timeout: float) -> Dict:
+        # _pending is decremented by the WORKER once the request actually
+        # finishes — not here on timeout: a decode that outlives the
+        # client's wait is still occupying the lane, and decrementing early
+        # would let submit_if_idle route the next low-latency request onto
+        # a busy lane (unbounded worst-case latency, the exact QoS hole the
+        # idle-routing exists to close).
         req = _Request(payload)
-        try:
-            self.queue.put(req)
-            if not req.done.wait(timeout):
-                raise TimeoutError("batch worker timeout")
-        finally:
-            with self._pending_lock:
-                self._pending -= 1
+        self.queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("batch worker timeout")
         if req.error:
             raise RuntimeError(req.error)
         return req.result
@@ -123,6 +125,9 @@ class _Batcher(threading.Thread):
                 for r in batch:
                     r.error = f"{type(e).__name__}: {e}"
                     r.done.set()
+            finally:
+                with self._pending_lock:
+                    self._pending -= len(batch)
 
 
 class OmniMambaService:
@@ -213,7 +218,13 @@ class OmniMambaService:
         # sampler settings are jit-cache keys: clamp/quantize client-supplied
         # values so adversarial inputs can't force unbounded compilations
         top_k = max(0, min(int(payloads[0].get("top_k", 1)), 64))
-        temperature = round(float(payloads[0].get("temperature", 1.0)), 2)
+        # clamp to a sane range FIRST (0 would divide logits by zero in the
+        # sampler), then snap to a 0.1 lattice so the key space is finite
+        # (<=40 values) — rounding alone leaves ~65k distinct keys, each a
+        # fresh multi-minute compile an adversarial client could force
+        temperature = round(
+            min(max(float(payloads[0].get("temperature", 1.0)), 0.1), 4.0), 1
+        )
         ragged = text_lengths is not None
         jkey = ("t2i", text_ids.shape[1], ragged, top_k, temperature)
         if jkey not in self._jit:

@@ -24,12 +24,7 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
-
-def sync(x):
-    import jax
-
-    leaf = jax.tree.leaves(x)[0]
-    return np.asarray(leaf.ravel()[-1])
+from omnimamba_tpu.utils.profiling import hard_sync as sync
 
 
 def main():

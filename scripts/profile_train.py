@@ -78,7 +78,9 @@ def bench_step(args):
     state, tx = create_train_state(params, tcfg)
     step_fn = make_train_step(model, tx, tcfg, dtype=jnp.bfloat16)
 
-    B = 6 if args.mmu and args.batch == 8 else args.batch
+    # default batch: 6 for the mixed shape (reference per-GPU t2i batch
+    # at stage 2), 8 for t2i-only; an explicit --batch always wins
+    B = args.batch if args.batch is not None else (6 if args.mmu else 8)
     rng = np.random.default_rng(0)
     batch = {
         "t2i_flow": {
@@ -150,7 +152,7 @@ def bench_ssd(args):
     from omnimamba_tpu.ops.ssd_chunked import ssd_chunked
     from omnimamba_tpu.ops.ssd_pallas_bwd import ssd_pallas_ad
 
-    B, L = args.batch, args.seqlen
+    B, L = (args.batch if args.batch is not None else 8), args.seqlen
     H, P, N, G = 64, 64, 128, 1
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, L, H, P)), jnp.bfloat16)
@@ -244,7 +246,7 @@ def bench_decode(args):
         params = quantize_decode_params(params)
     print(f"init in {time.time()-t0:.0f}s", file=sys.stderr)
 
-    B = args.batch
+    B = args.batch if args.batch is not None else 8
     T = args.tokens
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 8)), jnp.int32)
@@ -282,7 +284,8 @@ def bench_decode(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("mode", choices=["step", "ssd", "decode"])
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", type=int, default=None,
+                   help="default: 6 with --mmu (stage-2 shape), else 8")
     p.add_argument("--seqlen", type=int, default=1280)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--head-tile", type=int, default=0)

@@ -256,3 +256,6 @@ def test_mmmu_letter_not_fooled_by_article():
     assert mmmu_extract_letter("The answer is C", opts) == "C"  # uppercase bare
     # lowercase bare letters inside prose are NOT answers
     assert mmmu_extract_letter("probably a small animal", opts) is None
+    # a sentence-initial capitalized article must not shadow the trailing
+    # answer: the LAST uppercase standalone letter wins
+    assert mmmu_extract_letter("A dog is shown. The answer is C", opts) == "C"

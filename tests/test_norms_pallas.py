@@ -111,3 +111,31 @@ def test_fused_gated_rms_norm_fwd_bwd(dtype):
         err = float(jnp.max(jnp.abs(
             a.astype(jnp.float32) - b.astype(jnp.float32)))) / scale
         assert err < (1e-4 if dtype == jnp.float32 else 2e-2), (n, err)
+
+
+def test_fused_norm_symbolic_zero_dres_path():
+    """Loss through the normed output only (the common training shape when
+    the residual stream's cotangent is structurally zero): with
+    symbolic_zeros=True the backward must take the has_dres=False fast
+    path — no padded zeros block streamed — and still match the reference
+    gradients exactly."""
+    rng = np.random.default_rng(1)
+    B, L, d = 2, 13, 256
+    x = jnp.asarray(rng.standard_normal((B, L, d)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((B, L, d)), jnp.float32)
+    w = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32)
+
+    def loss_p(x, res, w):
+        o, _ = fused_add_rms_norm(x, res, w, 1e-5, True)
+        return jnp.sum(jnp.square(o))
+
+    def loss_r(x, res, w):
+        o, _ = _ref(x, res, w)
+        return jnp.sum(jnp.square(o))
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(x, res, w)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(x, res, w)
+    for a, b, n in zip(gp, gr, ["dx", "dres", "dw"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=n
+        )
