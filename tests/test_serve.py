@@ -222,3 +222,58 @@ def test_batcher_inflight_routing():
     assert lane.idle()
     assert lane.submit_if_idle({}) == {"ok": True}
     lane.stop()
+
+
+def test_batcher_timeout_keeps_lane_busy():
+    """A decode that outlives the client's submit timeout is still
+    occupying the lane: _pending must stay elevated (worker decrements on
+    completion, not the timed-out submitter) so submit_if_idle keeps
+    routing low-latency requests away from the wedged lane."""
+    import time
+
+    from omnimamba_tpu.serve.server import _Batcher
+
+    started = threading.Event()
+    release = threading.Event()
+
+    def slow_batch(payloads):
+        started.set()
+        release.wait(timeout=10)
+        return [{"ok": True} for _ in payloads]
+
+    lane = _Batcher("test", slow_batch, 1, 0.0)
+    lane.start()
+    with pytest.raises(TimeoutError):
+        lane.submit({}, timeout=0.05)  # worker still running slow_batch
+    assert started.is_set()
+    assert not lane.idle()  # in-flight work survives the client timeout
+    assert lane.submit_if_idle({}) is None
+    release.set()
+    for _ in range(100):
+        if lane.idle():
+            break
+        time.sleep(0.05)
+    assert lane.idle()
+    lane.stop()
+
+
+def test_t2i_temperature_key_clamped():
+    """Client-supplied temperatures snap to a bounded lattice (finite jit
+    key space) and never reach the sampler as 0 (divide-by-zero)."""
+    model = tiny_model()
+    params = init_omnimamba(jax.random.PRNGKey(0), model)
+    uni = UniversalPrompting(OfflineTokenizer(base_vocab=49))
+    model = model._replace(
+        sptids={k: v % model.cfg.vocab_size for k, v in uni.sptids_dict.items()}
+    )
+    service = OmniMambaService(
+        model, params, uni, t2i_batch=2, mmu_batch=2, mmu_max_new=4,
+        dtype=jnp.float32,
+    )
+    for t in (0.004, 0.051, 0.08, 1e9, -3.0):
+        out = service.t2i_batch_fn([{"prompt": "a red square",
+                                     "temperature": t, "top_k": 2}])
+        assert "image_png_b64" in out[0]
+    temps = {k[-1] for k in service._jit if isinstance(k, tuple) and k[0] == "t2i"}
+    # 0.004/0.051/0.08/-3.0 -> 0.1, 1e9 -> 4.0: exactly two compiled keys
+    assert temps == {0.1, 4.0}
