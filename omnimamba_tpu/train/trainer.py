@@ -54,6 +54,11 @@ def make_train_step(
     """Returns step(state, batch, key) -> (state, metrics), jitted; sharded
     over ``mesh`` when given.
 
+    With ``cfg.grad_accum > 1`` every batch leaf carries a leading
+    (accum,) micro-batch axis (see ``accumulate_batches``); the step scans
+    the micro-batches, accumulates grads in fp32, and applies ONE
+    optimizer update (reference: accelerate gradient_accumulation_steps).
+
     batch = {
       "t2i_flow": {"inputs": (B,256) int, "caption_ids": (B,73) int},
       "mmu_flow": {"pixel_values": {"dino","siglip"}: (B,H,W,3) float,
@@ -158,10 +163,42 @@ def make_train_step(
         loss = loss_t2i + loss_mmu  # summed (trainer.py:121)
         return loss, {"loss_t2i": loss_t2i, "loss_mmu": loss_mmu}
 
+    accum = max(int(getattr(cfg, "grad_accum", 1) or 1), 1)
+
     def step(state: TrainState, batch, key):
-        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key
-        )
+        if accum == 1:
+            (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, key
+            )
+        else:
+            # gradient accumulation (reference: accelerate's
+            # gradient_accumulation_steps): batch leaves carry a leading
+            # (accum,) micro-batch axis; lax.scan keeps ONE micro-batch of
+            # activations live at a time and accumulates grads in fp32
+            # (bf16 += would lose low bits across micro-steps)
+            keys = jax.random.split(key, accum)
+
+            def micro(g_acc, xs):
+                mb, k = xs
+                (l, p), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, mb, k
+                )
+                g_acc = jax.tree.map(
+                    lambda a, b: a + b.astype(jnp.float32), g_acc, g
+                )
+                return g_acc, {"loss": l, **p}
+
+            g0 = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            g_sum, ms = jax.lax.scan(micro, g0, (batch, keys))
+            # back to param dtype so the optimizer sees the same dtypes as
+            # the accum=1 path (moments are initialized from params)
+            grads = jax.tree.map(
+                lambda g, p: (g / accum).astype(p.dtype), g_sum, state.params
+            )
+            loss = ms["loss"].mean()
+            parts = {k: ms[k].mean() for k in ("loss_t2i", "loss_mmu")}
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # NOT optax.global_norm: its vdot path materializes the bf16 g*g
@@ -182,21 +219,46 @@ def make_train_step(
     return jax.jit(step, donate_argnums=0 if donate else ())
 
 
-def shard_batch(mesh, batch):
-    """Place host batch arrays with the leading dim on dp."""
+def shard_batch(mesh, batch, *, stacked: bool = False):
+    """Place host batch arrays with the batch dim on dp.
+
+    ``stacked=True`` marks grad-accumulation batches whose leaves carry a
+    leading (accum,) micro-batch axis: the accum axis stays replicated
+    (it is scanned over) and the per-micro batch dim (axis 1) shards.
+    """
     if mesh is None:
         return jax.tree.map(jnp.asarray, batch)
     sh = batch_sharding(mesh)
 
     dp = mesh.shape.get("dp", 1)
+    axis = 1 if stacked else 0
 
     def put(x):
         x = jnp.asarray(x)
-        if x.ndim == 0 or x.shape[0] % dp != 0:
+        if x.ndim <= axis or x.shape[axis] % dp != 0:
             return jax.device_put(x, NamedSharding(mesh, P()))
-        return jax.device_put(x, NamedSharding(mesh, P(*(["dp"] + [None] * (x.ndim - 1)))))
+        spec = [None] * x.ndim
+        spec[axis] = "dp"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(put, batch)
+
+
+def accumulate_batches(loader, accum: int):
+    """Group ``accum`` consecutive loader batches into one stacked batch
+    (new leading micro-batch axis on every leaf) for the scan-based
+    gradient-accumulation step; a trailing partial group is dropped."""
+    import numpy as np
+
+    if accum <= 1:
+        yield from loader
+        return
+    buf = []
+    for b in loader:
+        buf.append(b)
+        if len(buf) == accum:
+            yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
+            buf = []
 
 
 class MetricsWriter:
@@ -346,14 +408,15 @@ class Trainer:
         t_last = time.time()
         step_last = step
         metrics = {}
+        accum = max(int(self.cfg.grad_accum or 1), 1)
         while step < max_steps:
-            for batch in self.loader:
+            for batch in accumulate_batches(self.loader, accum):
                 if step >= max_steps:
                     break
                 if profile_dir is not None and step == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
                 key, sub = jax.random.split(key)
-                batch = shard_batch(self.mesh, batch)
+                batch = shard_batch(self.mesh, batch, stacked=accum > 1)
                 self.state, metrics = self.step_fn(self.state, batch, sub)
                 step += 1
                 if profile_dir is not None and step == profile_steps[1]:

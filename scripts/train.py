@@ -38,6 +38,9 @@ def main():
                         "the shipped YAMLs assume 8 chips)")
     parser.add_argument("--batch-mmu", type=int, default=None,
                         help="override cfg.batch_size_mmu")
+    parser.add_argument("--grad-accum", type=int, default=None,
+                        help="override cfg.grad_accum (micro-batches per "
+                        "optimizer step; reference train_stage2.py:58)")
     args = parser.parse_args()
 
     import jax
@@ -77,6 +80,8 @@ def main():
         cfg.batch_size_t2i = args.batch_t2i
     if args.batch_mmu:
         cfg.batch_size_mmu = args.batch_mmu
+    if args.grad_accum:
+        cfg.grad_accum = args.grad_accum
 
     run_name = f"{cfg.omnimamba_model}_{datetime.now().strftime('%Y-%m-%d_%H-%M-%S')}"
     out_dir = os.path.join(cfg.output_dir, run_name)

@@ -159,3 +159,28 @@ def test_speculative_decode_under_tp_mesh():
         )
     )(sparams, jax.device_put(ids, rep), jax.device_put(emb, rep))
     np.testing.assert_array_equal(np.asarray(out.sequences), np.asarray(ref.sequences))
+
+
+def test_sharded_grad_accum_step():
+    """grad_accum=2 under a dp mesh: the stacked (accum, batch, ...) leaves
+    shard on axis 1 and the scan-accumulated step runs under GSPMD."""
+    model = tiny_model()
+    cfg = TrainConfig(max_steps=10, warmup_steps=0, lr=1e-3, grad_accum=2)
+    params = init_omnimamba(jax.random.PRNGKey(0), model)
+    mesh = create_mesh({"dp": 8})
+    params = shard_params(mesh, params)
+    state, tx = create_train_state(params, cfg, stage="finetune")
+    step_fn = make_train_step(model, tx, cfg, mesh=mesh, dtype=jnp.float32, donate=False)
+
+    single = _batch(model)
+    stacked = jax.tree.map(
+        lambda a: np.stack([np.asarray(a), np.asarray(a)]), single
+    )
+    batch = shard_batch(mesh, stacked, stacked=True)
+    state2, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    delta = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state2.params["mamba"], params["mamba"],
+    )
+    assert max(jax.tree.leaves(delta)) > 0

@@ -122,3 +122,75 @@ def test_phi15_conversation_prompt():
     conv2.append_message(conv2.roles[0], "hi")
     conv2.append_message(conv2.roles[1], "hello")
     assert conv2.get_prompt() == " USER: hi ASSISTANT: hello<|endoftext|>"
+
+
+def test_grad_accum_matches_large_batch():
+    """cfg.grad_accum=A with the batch split into A micro-batches must
+    produce (numerically) the same optimizer step as one step over the
+    concatenated batch: per-micro losses are equal-size means, so their
+    average equals the large-batch mean, and so do the gradients.
+    LoRA dropout is disabled so both paths see identical stochasticity."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from omnimamba_tpu.config import TrainConfig
+    from omnimamba_tpu.models.omnimamba import init_omnimamba
+    from omnimamba_tpu.train.trainer import create_train_state, make_train_step
+    from tests.test_omnimamba import tiny_model
+
+    model = tiny_model()
+    model = model._replace(
+        cfg=dataclasses.replace(
+            model.cfg, lora=dataclasses.replace(model.cfg.lora, dropout=0.0)
+        )
+    )
+    rng = np.random.default_rng(0)
+    big = {
+        "t2i_flow": {
+            "inputs": rng.integers(0, 32, (4, model.cfg.num_tokens)),
+            "caption_ids": rng.integers(0, 49, (4, 9)),
+        }
+    }
+    stacked = jax.tree.map(lambda x: jnp.asarray(x.reshape(2, 2, *x.shape[1:])), big)
+    big = jax.tree.map(jnp.asarray, big)
+    key = jax.random.PRNGKey(7)
+
+    results = {}
+    for accum, batch in ((1, big), (2, stacked)):
+        cfg = TrainConfig(
+            max_steps=5, warmup_steps=0, lr=1e-3, mmu_task=False,
+            grad_accum=accum,
+        )
+        params = init_omnimamba(jax.random.PRNGKey(0), model, with_vq=False)
+        state, tx = create_train_state(params, cfg)
+        step_fn = make_train_step(model, tx, cfg, dtype=jnp.float32, donate=False)
+        state2, metrics = step_fn(state, batch, key)
+        results[accum] = (state2.params, metrics)
+
+    p1, m1 = results[1]
+    p2, m2 = results[2]
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m2["grad_norm"]), float(m1["grad_norm"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_accumulate_batches_stacks_and_drops_partial():
+    import numpy as np
+
+    from omnimamba_tpu.train.trainer import accumulate_batches
+
+    batches = [{"a": np.full((2, 3), i)} for i in range(5)]
+    out = list(accumulate_batches(iter(batches), 2))
+    assert len(out) == 2  # trailing partial group dropped
+    assert out[0]["a"].shape == (2, 2, 3)
+    assert (out[0]["a"][1] == 1).all() and (out[1]["a"][0] == 2).all()
+    # accum=1 is a passthrough
+    assert len(list(accumulate_batches(iter(batches), 1))) == 5
