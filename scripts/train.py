@@ -113,7 +113,8 @@ def main():
             print("[data] t2i via native mmap reader (libomnidata)")
         else:
             ds = MSCOCOFeatureDataset(path, uni)
-            loaders["t2i_flow"] = DataLoader(ds, cfg.batch_size_t2i, coco_collate)
+            loaders["t2i_flow"] = DataLoader(ds, cfg.batch_size_t2i, coco_collate,
+                                         num_threads=cfg.num_workers)
     if cfg.mmu_task:
         ann = None
         if args.synthetic_data:
@@ -130,7 +131,8 @@ def main():
             annotation_json=ann,
             image_dir="." if ann else None,
         )
-        loaders["mmu_flow"] = DataLoader(ds_mmu, cfg.batch_size_mmu, collator)
+        loaders["mmu_flow"] = DataLoader(ds_mmu, cfg.batch_size_mmu, collator,
+                                 num_threads=cfg.num_workers)
     combined = CombinedLoader(loaders)
 
     # --- mesh --------------------------------------------------------------
@@ -143,7 +145,9 @@ def main():
     if args.tp > 1:
         shape["tp"] = args.tp
     if not shape:
-        shape = {"dp": n_dev}
+        # no CLI mesh flags: a non-trivial cfg.mesh_shape wins, else all-dp
+        yaml_shape = {k: v for k, v in dict(cfg.mesh_shape or {}).items() if v > 1}
+        shape = yaml_shape or {"dp": n_dev}
     mesh = create_mesh(shape)
     print(f"[mesh] {dict(mesh.shape)} over {n_dev} devices")
     params = shard_params(mesh, params)
