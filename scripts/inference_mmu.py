@@ -24,6 +24,9 @@ def main():
     parser.add_argument("--config", type=str, default="config/config_stage2.yaml")
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--max-length", type=int, default=2048)
+    parser.add_argument("--no-merge-lora", action="store_true",
+                        help="keep LoRA unmerged (default merges the task's "
+                        "adapters into in_proj for faster decode)")
     parser.add_argument("--platform", type=str, default=None,
                         help="force jax platform (e.g. cpu for smoke runs)")
     parser.add_argument(
@@ -63,6 +66,12 @@ def main():
         cfg.omnimamba_ckpt = args.ckpt
     cfg.t2i_task = cfg.t2i_task  # keep; t2i extras allowed
     model, params, uni = build_model(cfg, stage="inference", dtype=jnp.bfloat16)
+    if not args.no_merge_lora and model.cfg.lora is not None:
+        # fold the mmu LoRA into in_proj (reference merge_weights analog,
+        # lora.py:166-246): identical stream, fewer per-step matmuls
+        from omnimamba_tpu.utils.lora import merge_lora
+
+        params = merge_lora(params, "mmu", model.cfg.lora)
 
     image = Image.open(args.image_path).convert("RGB")
     raw = jnp.asarray(np.asarray(image, np.uint8))[None]

@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--cfg-scale", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--no-merge-lora", action="store_true",
+                        help="keep LoRA unmerged (default merges the task's "
+                        "adapters into in_proj for faster decode)")
     parser.add_argument("--platform", type=str, default=None,
                         help="force jax platform (e.g. cpu for smoke runs)")
     args = parser.parse_args()
@@ -59,6 +62,12 @@ def main():
         cfg.omnimamba_ckpt = args.ckpt
     cfg.mmu_task = False  # no vision needed for T2I
     model, params, uni = build_model(cfg, stage="inference", dtype=jnp.bfloat16)
+    if not args.no_merge_lora and model.cfg.lora is not None:
+        # fold the t2i LoRA into in_proj (reference merge_weights analog,
+        # lora.py:166-246): identical stream, fewer per-step matmuls
+        from omnimamba_tpu.utils.lora import merge_lora
+
+        params = merge_lora(params, "t2i", model.cfg.lora)
 
     # 72-id caption block (reference scripts/inference_t2i.py:30-45)
     def caption_block(prompt: str) -> np.ndarray:

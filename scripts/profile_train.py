@@ -240,6 +240,12 @@ def bench_decode(args):
         )
     t0 = time.time()
     params = init_backbone(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if args.merge_lora:
+        # fold the task's LoRA into in_proj: removes 1 + 4 tiny matmuls per
+        # layer per decode step (the task is fixed here)
+        from omnimamba_tpu.utils.lora import merge_lora
+
+        params = merge_lora(params, "mmu", cfg.lora)
     if args.int8:
         from omnimamba_tpu.ops.quant import quantize_decode_params
 
@@ -295,6 +301,8 @@ def main():
     p.add_argument("--remat-policy", default=None, help="e.g. 'dots'")
     p.add_argument("--mmu", action="store_true",
                    help="stage-2 MIXED shape: t2i B + one 1182-tok mmu row")
+    p.add_argument("--merge-lora", action="store_true",
+                   help="decode mode: fold task LoRA into in_proj first")
     p.add_argument("--remat-mmu", default=None,
                    help="mmu-flow remat override (default: full remat)")
     p.add_argument("--chunk", type=int, default=0)
