@@ -421,6 +421,10 @@ class TrainConfig:
     scheduler: str = "cosine_with_min_lr"
     save_steps: int = 5000
     save_total_limit: int = 5
+    # evaluate() every N optimizer steps when an eval loader is configured
+    # (reference: HF evaluation_strategy="steps", train_stage2.py:36);
+    # 0 disables
+    eval_steps: int = 0
     seed: int = 0
     num_workers: int = 16
     # TPU-native additions (no reference analog; DP-only there, SURVEY §2.4)

@@ -437,6 +437,12 @@ class Trainer:
                     self.metrics_writer.log(step, {k: float(v) for k, v in metrics.items()})
                 if self.checkpoint_manager is not None and step % self.cfg.save_steps == 0:
                     self.checkpoint_manager.save(step, self.state)
+                if (
+                    self.eval_loader is not None
+                    and self.cfg.eval_steps
+                    and step % self.cfg.eval_steps == 0
+                ):
+                    self.evaluate()
         return self.state, metrics
 
     def evaluate(self, metric_key_prefix: str = "eval"):

@@ -194,3 +194,29 @@ def test_accumulate_batches_stacks_and_drops_partial():
     assert (out[0]["a"][1] == 1).all() and (out[1]["a"][0] == 2).all()
     # accum=1 is a passthrough
     assert len(list(accumulate_batches(iter(batches), 1))) == 5
+
+
+def test_trainer_periodic_eval(tmp_path):
+    """cfg.eval_steps=2 runs evaluate() inside the loop (reference:
+    evaluation_strategy='steps') — eval metrics appear in the log stream
+    at steps 2 and 4 only."""
+    model = tiny_model()
+    cfg = TrainConfig(
+        max_steps=4, warmup_steps=0, lr=1e-3, logging_steps=100,
+        scan_impl="chunked", eval_steps=2,
+    )
+    params = init_omnimamba(jax.random.PRNGKey(0), model)
+    raw = _batch(model)
+    loader = _ListLoader([raw] * 4)
+    eval_loader = _ListLoader(
+        [{"inputs": raw["t2i_flow"]["inputs"],
+          "caption_ids": raw["t2i_flow"]["caption_ids"]}]
+    )
+    logs = []
+    tr = Trainer(
+        model, params, cfg, loader,
+        dtype=jnp.float32, eval_loader=eval_loader, log_fn=logs.append,
+    )
+    tr.train()
+    evals = [l for l in logs if "eval_t2i_loss" in str(l)]
+    assert len(evals) == 2
