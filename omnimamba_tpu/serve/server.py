@@ -134,12 +134,22 @@ class OmniMambaService:
     """Owns params + compiled generate programs; called by the batchers."""
 
     def __init__(self, model, params, uni, *, t2i_batch=8, mmu_batch=8,
-                 mmu_max_new=64, dtype=None, cache_dtype="auto"):
+                 mmu_max_new=64, dtype=None, cache_dtype="auto",
+                 merge_lora_task=None):
         import jax.numpy as jnp
 
         self.model = model
         self.params = params
         self.uni = uni
+        # single-task deployment fast path: fold that task's LoRA into
+        # in_proj (identical stream, fewer per-step matmuls — the reference
+        # merge_weights analog). The merged tree is WRONG for the other
+        # task, so its endpoint is refused.
+        self.merged_task = merge_lora_task
+        if merge_lora_task is not None:
+            from omnimamba_tpu.utils.lora import merge_lora
+
+            self.params = merge_lora(params, merge_lora_task, model.cfg.lora)
         self.dtype = dtype or jnp.bfloat16
         self.cache_dtype = cache_dtype
         self.t2i_batch = t2i_batch
@@ -151,6 +161,13 @@ class OmniMambaService:
         # a tunneled chip costs ~10 ms/op — the r3 eval-harness fix was
         # exactly this (31x); the serve paths share it (ADVICE r3).
         self._jit: Dict = {}
+
+    def _require_task(self, task: str):
+        if self.merged_task is not None and self.merged_task != task:
+            raise RuntimeError(
+                f"service was merged for task {self.merged_task!r}; "
+                f"{task!r} requests need an unmerged deployment"
+            )
 
     def _features_fn(self):
         import jax
@@ -165,6 +182,7 @@ class OmniMambaService:
 
     # --- t2i ---------------------------------------------------------------
     def t2i_batch_fn(self, payloads: List[Dict]) -> List[Dict]:
+        self._require_task("t2i")
         import jax
         import jax.numpy as jnp
 
@@ -261,6 +279,7 @@ class OmniMambaService:
 
     # --- mmu ---------------------------------------------------------------
     def mmu_batch_fn(self, payloads: List[Dict]) -> List[Dict]:
+        self._require_task("mmu")
         import jax.numpy as jnp
         from PIL import Image
 
@@ -332,6 +351,7 @@ class OmniMambaService:
 
     # --- mmu low-latency speculative lane ----------------------------------
     def mmu_single_fn(self, payloads: List[Dict]) -> List[Dict]:
+        self._require_task("mmu")
         """Single-stream greedy decode with prompt-lookup (ngram) speculative
         drafts — stream-identical to the plain path, lower latency when the
         answer echoes the prompt. B=1, exact prompt length (one compiled

@@ -28,6 +28,11 @@ def main():
     parser.add_argument("--mmu-max-new", type=int, default=64)
     parser.add_argument("--max-wait-ms", type=float, default=20.0)
     parser.add_argument("--int8", action="store_true", help="int8 weight-only serving")
+    parser.add_argument("--merge-lora-task", default=None,
+                        choices=["t2i", "mmu"],
+                        help="single-task deployment: fold that task's LoRA "
+                        "into in_proj (faster decode); the other task's "
+                        "endpoint is refused")
     parser.add_argument("--bf16-state", action="store_true",
                         help="carry decode SSM state in bf16 (higher batched "
                              "throughput; audit greedy fidelity per model)")
@@ -52,6 +57,13 @@ def main():
     if args.ckpt:
         cfg.omnimamba_ckpt = args.ckpt
     model, params, uni = build_model(cfg, stage="inference", dtype=jnp.bfloat16)
+    if args.merge_lora_task:
+        # merge BEFORE quantization (folding into int8 blocks would
+        # re-quantize noise); the service keeps the task guard
+        from omnimamba_tpu.utils.lora import merge_lora
+
+        params = merge_lora(params, args.merge_lora_task, model.cfg.lora)
+        print(f"[serve] {args.merge_lora_task} LoRA merged into in_proj")
     if args.int8:
         from omnimamba_tpu.ops.quant import quantize_decode_params
 
@@ -70,6 +82,7 @@ def main():
         t2i_batch=args.t2i_batch, mmu_batch=args.mmu_batch,
         mmu_max_new=args.mmu_max_new,
         cache_dtype=jnp2.bfloat16 if args.bf16_state else "auto",
+        merge_lora_task=args.merge_lora_task,
     )
     server = make_server(service, args.host, args.port, args.max_wait_ms)
     print(f"[serve] listening on {args.host}:{args.port} "

@@ -277,3 +277,31 @@ def test_t2i_temperature_key_clamped():
     temps = {k[-1] for k in service._jit if isinstance(k, tuple) and k[0] == "t2i"}
     # 0.004/0.051/0.08/-3.0 -> 0.1, 1e9 -> 4.0: exactly two compiled keys
     assert temps == {0.1, 4.0}
+
+
+def test_merged_single_task_service():
+    """merge_lora_task='mmu': mmu serving works on the merged tree, and a
+    t2i request is refused instead of silently using wrong weights."""
+    model = tiny_model()
+    params = init_omnimamba(jax.random.PRNGKey(0), model)
+    uni = UniversalPrompting(OfflineTokenizer(base_vocab=49))
+    model = model._replace(
+        sptids={k: v % model.cfg.vocab_size for k, v in uni.sptids_dict.items()}
+    )
+    service = OmniMambaService(
+        model, params, uni, t2i_batch=2, mmu_batch=2, mmu_max_new=4,
+        dtype=jnp.float32, merge_lora_task="mmu",
+    )
+    assert "lora" not in service.params["mamba"]["layers"]["mixer"]
+    from PIL import Image
+    import io as _io
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (32, 32), (90, 120, 200)).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    out = service.mmu_batch_fn(
+        [{"image_png_b64": b64, "question": "what color?"}]
+    )
+    assert isinstance(out[0]["text"], str)
+    with pytest.raises(RuntimeError, match="merged for task"):
+        service.t2i_batch_fn([{"prompt": "a red square"}])
