@@ -69,6 +69,12 @@ def main():
 
         params = quantize_decode_params(params)
         print("[serve] int8 weight-only quantization on")
+    # one in_proj matmul dispatch per layer instead of four (the bench's
+    # measured-best serving configs ride this; exact for int8 too — the
+    # scales are per-output-column)
+    from omnimamba_tpu.ops.quant import fuse_in_proj
+
+    params = fuse_in_proj(params)
     # single-host serving: collapse the 4 in_proj column-slice matmuls into
     # one operand per layer (numerics-identical; fewer decode dispatches)
     from omnimamba_tpu.ops.quant import fuse_in_proj
