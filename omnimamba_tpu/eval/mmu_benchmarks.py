@@ -130,10 +130,12 @@ def mmmu_extract_letter(pred: str, options: Sequence[str]) -> Optional[str]:
     matched the English article in 'a dog' as option A before the
     option-text fallback could run. Now: (1) anchored letter forms —
     '(A)', 'A.', 'A)', 'A:' — any case; (2) exact normalized option-text
-    match; (3) LAST uppercase standalone letter (a bare lowercase 'a'/'b'
-    is far more likely prose than an answer, and a sentence-initial
-    capitalized article in 'A dog ... the answer is C' must not shadow
-    the trailing answer); (4) unique option-text containment."""
+    match; (3) answer-phrase anchor ("answer/option/choice is X", any
+    case — robust to other options being discussed around it); (4) LAST
+    uppercase standalone letter (a bare lowercase 'a'/'b' is far more
+    likely prose than an answer, and a sentence-initial capitalized
+    article in 'A dog ... C' must not shadow a trailing answer);
+    (5) unique option-text containment."""
     k = len(options)
     letters = _MMMU_LETTERS[:k]
     s = pred.strip()
@@ -146,6 +148,16 @@ def mmmu_extract_letter(pred: str, options: Sequence[str]) -> Optional[str]:
     hits = [i for i, o in enumerate(options) if _normalize(str(o)) == p]
     if len(hits) == 1:
         return _MMMU_LETTERS[hits[0]]
+    # phrase-anchored: "the answer is B, as A and C are wrong" must grade B
+    # — neither first nor last bare letter is safe once other options are
+    # discussed, but the answer phrase is unambiguous
+    m = re.search(
+        rf"\b(?:answer|option|choice)\s*(?:is|:)?\s*\(?([{letters}])\b",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return m.group(1).upper()
     bare = re.findall(rf"\b([{letters}])\b", s)  # uppercase only
     if bare:
         return bare[-1]

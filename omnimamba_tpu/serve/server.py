@@ -128,6 +128,18 @@ class _Batcher(threading.Thread):
             finally:
                 with self._pending_lock:
                     self._pending -= len(batch)
+        # drain: anything still queued when the worker exits would leave its
+        # submitter blocked for the full timeout and _pending elevated
+        # forever (idle() permanently False) — fail those requests now
+        while True:
+            try:
+                req = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = "RuntimeError: batch worker stopped"
+            req.done.set()
+            with self._pending_lock:
+                self._pending -= 1
 
 
 class OmniMambaService:
@@ -142,8 +154,9 @@ class OmniMambaService:
         self.params = params
         self.uni = uni
         # single-task deployment fast path: fold that task's LoRA into
-        # in_proj (identical stream, fewer per-step matmuls — the reference
-        # merge_weights analog). The merged tree is WRONG for the other
+        # in_proj (same math, fewer per-step matmuls — the reference
+        # merge_weights analog; bf16 folds can differ at rounding scale,
+        # see utils/lora.py). The merged tree is WRONG for the other
         # task, so its endpoint is refused.
         self.merged_task = merge_lora_task
         if merge_lora_task is not None:
@@ -239,10 +252,13 @@ class OmniMambaService:
         # clamp to a sane range FIRST (0 would divide logits by zero in the
         # sampler), then snap to a 0.1 lattice so the key space is finite
         # (<=40 values) — rounding alone leaves ~65k distinct keys, each a
-        # fresh multi-minute compile an adversarial client could force
-        temperature = round(
-            min(max(float(payloads[0].get("temperature", 1.0)), 0.1), 4.0), 1
-        )
+        # fresh multi-minute compile an adversarial client could force.
+        # NaN would sail through min/max/round AND never hit the jit cache
+        # (nan != nan), re-opening the unbounded-compile hole — reject it.
+        temperature = float(payloads[0].get("temperature", 1.0))
+        if temperature != temperature:  # NaN (json.loads accepts it)
+            temperature = 1.0
+        temperature = round(min(max(temperature, 0.1), 4.0), 1)
         ragged = text_lengths is not None
         jkey = ("t2i", text_ids.shape[1], ragged, top_k, temperature)
         if jkey not in self._jit:

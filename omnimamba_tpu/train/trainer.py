@@ -247,18 +247,29 @@ def shard_batch(mesh, batch, *, stacked: bool = False):
 def accumulate_batches(loader, accum: int):
     """Group ``accum`` consecutive loader batches into one stacked batch
     (new leading micro-batch axis on every leaf) for the scan-based
-    gradient-accumulation step; a trailing partial group is dropped."""
+    gradient-accumulation step; a trailing partial group is dropped.
+
+    An epoch with fewer than ``accum`` batches yields NOTHING — the outer
+    ``while step < max_steps`` loop would then spin forever making no
+    progress, so that configuration raises instead."""
     import numpy as np
 
     if accum <= 1:
         yield from loader
         return
     buf = []
+    yielded = 0
     for b in loader:
         buf.append(b)
         if len(buf) == accum:
             yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
+            yielded += 1
             buf = []
+    if not yielded:
+        raise ValueError(
+            f"grad_accum={accum} exceeds the loader's batches per epoch "
+            f"({len(buf)}) — no optimizer step could ever run"
+        )
 
 
 class MetricsWriter:
@@ -457,14 +468,23 @@ class Trainer:
         from omnimamba_tpu.models.omnimamba import mmu_loss, t2i_loss
 
         assert self.eval_loader is not None, "no eval loader configured"
-        t2i_fn = jax.jit(
-            lambda p, img, cap: t2i_loss(p, self.model, img, cap, dtype=self.dtype)
-        )
-        mmu_fn = jax.jit(
-            lambda p, px, ids, lbl, mm: mmu_loss(
-                p, self.model, px, ids, lbl, mm, dtype=self.dtype
+        # jitted entry points are cached on self: jit keys on function
+        # identity, so fresh lambdas per call would retrace (and, cold,
+        # recompile for minutes at 1.3B) on EVERY periodic eval
+        if not hasattr(self, "_eval_fns"):
+            self._eval_fns = (
+                jax.jit(
+                    lambda p, img, cap: t2i_loss(
+                        p, self.model, img, cap, dtype=self.dtype
+                    )
+                ),
+                jax.jit(
+                    lambda p, px, ids, lbl, mm: mmu_loss(
+                        p, self.model, px, ids, lbl, mm, dtype=self.dtype
+                    )
+                ),
             )
-        )
+        t2i_fn, mmu_fn = self._eval_fns
         totals = {"t2i": 0.0, "mmu": 0.0}
         counts = {"t2i": 0, "mmu": 0}
         for batch in self.eval_loader:

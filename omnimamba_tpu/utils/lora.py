@@ -10,10 +10,15 @@ entirely, which also re-enables the one-dispatch ``fuse_in_proj`` decode
 fast path (ops/quant.py) — per decode step that removes 1 + 4*parts tiny
 matmuls per layer.
 
-Correctness: inference applies no LoRA dropout, so the merged forward is
-bit-equivalent math (same dtype contractions) to the unmerged one for that
-task. The result is TASK-SPECIFIC — serving both tasks needs one merged
-tree per task (in_proj is ~13% of 1.3B weights) or the unmerged original.
+Correctness: inference applies no LoRA dropout, so the merged forward
+computes the same mathematical function for that task. Numerics caveat at
+bf16: the fold rounds ``W + scale*A@B`` ONCE into the bf16 weight, while
+the unmerged path rounds the LoRA contribution at the activation level —
+outputs can differ at rounding scale, which per the repo's fidelity notes
+can flip a greedy argmax at rounding-scale margins. fp32 weights merge
+exactly (tests). The result is TASK-SPECIFIC — serving both tasks needs
+one merged tree per task (in_proj is ~13% of 1.3B weights) or the
+unmerged original.
 
 Merge BEFORE ``quantize_decode_params``: folding into int8 blocks would
 re-quantize noise.

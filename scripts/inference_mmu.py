@@ -68,7 +68,8 @@ def main():
     model, params, uni = build_model(cfg, stage="inference", dtype=jnp.bfloat16)
     if not args.no_merge_lora and model.cfg.lora is not None:
         # fold the mmu LoRA into in_proj (reference merge_weights analog,
-        # lora.py:166-246): identical stream, fewer per-step matmuls
+        # lora.py:166-246): same math, fewer per-step matmuls (bf16: one
+        # weight-level rounding vs activation-level — rounding-scale only)
         from omnimamba_tpu.utils.lora import merge_lora
 
         params = merge_lora(params, "mmu", model.cfg.lora)

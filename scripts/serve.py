@@ -31,7 +31,7 @@ def main():
     parser.add_argument("--merge-lora-task", default=None,
                         choices=["t2i", "mmu"],
                         help="single-task deployment: fold that task's LoRA "
-                        "into in_proj (faster decode); the other task's "
+                        "into in_proj (faster decode; bf16 rounding-scale differences possible); the other task's "
                         "endpoint is refused")
     parser.add_argument("--bf16-state", action="store_true",
                         help="carry decode SSM state in bf16 (higher batched "
@@ -69,14 +69,9 @@ def main():
 
         params = quantize_decode_params(params)
         print("[serve] int8 weight-only quantization on")
-    # one in_proj matmul dispatch per layer instead of four (the bench's
-    # measured-best serving configs ride this; exact for int8 too — the
-    # scales are per-output-column)
-    from omnimamba_tpu.ops.quant import fuse_in_proj
-
-    params = fuse_in_proj(params)
     # single-host serving: collapse the 4 in_proj column-slice matmuls into
-    # one operand per layer (numerics-identical; fewer decode dispatches)
+    # one operand per layer (numerics-identical; fewer decode dispatches;
+    # exact for int8 too — the scales are per-output-column)
     from omnimamba_tpu.ops.quant import fuse_in_proj
 
     params = fuse_in_proj(params)

@@ -187,9 +187,28 @@ def main():
         if args.wandb:
             sinks.append(WandbWriter(run_name=os.path.basename(out_dir)))
         metrics = MultiWriter(*sinks)
+    eval_loader = None
+    if cfg.eval_steps:
+        # no separate eval split ships with the reference configs
+        # (evaluation_strategy defaults off there too); periodic eval runs
+        # on a fixed sample of training batches unless a dedicated eval
+        # loader is wired at the library level
+        import itertools
+
+        class _EvalSample:
+            def __init__(self, inner, n=2):
+                self.inner, self.n = inner, n
+
+            def __iter__(self):
+                return itertools.islice(iter(self.inner), self.n)
+
+        eval_loader = _EvalSample(PreprocLoader(combined))
+        print(f"[eval] every {cfg.eval_steps} steps on {eval_loader.n} "
+              "training batches (no eval split configured)")
     trainer = Trainer(
         model, params, cfg, PreprocLoader(combined),
         mesh=mesh, checkpoint_manager=ckpt, metrics_writer=metrics,
+        eval_loader=eval_loader,
     )
     if cfg.resume_dir:
         mgr = CheckpointManager(os.path.join(cfg.resume_dir, "ckpts"))

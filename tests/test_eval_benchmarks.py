@@ -257,5 +257,10 @@ def test_mmmu_letter_not_fooled_by_article():
     # lowercase bare letters inside prose are NOT answers
     assert mmmu_extract_letter("probably a small animal", opts) is None
     # a sentence-initial capitalized article must not shadow the trailing
-    # answer: the LAST uppercase standalone letter wins
+    # answer
     assert mmmu_extract_letter("A dog is shown. The answer is C", opts) == "C"
+    # the answer phrase wins even when other options are discussed after it
+    assert (
+        mmmu_extract_letter("The answer is B, as A and C are wrong", opts) == "B"
+    )
+    assert mmmu_extract_letter("I would choose option b here", opts) == "B"

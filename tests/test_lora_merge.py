@@ -42,9 +42,8 @@ def test_merge_is_task_specific(setup):
     (its adapters are gone AND t2i deltas are baked in) — outputs differ."""
     cfg, params, emb = setup
     merged = merge_lora(params, "t2i", cfg.lora)
-    h0, _ = backbone_forward(params, emb, "mmu", cfg)
-    h1, _ = backbone_forward(merged, emb, "mmu", cfg)
-    assert float(jnp.abs(h1 - h0).max()) > 1e-6
+    fwd = jax.jit(lambda p: backbone_forward(p, emb, "mmu", cfg)[0])
+    assert float(jnp.abs(fwd(merged) - fwd(params)).max()) > 1e-6
 
 
 def test_merged_composes_with_fused_quant(setup):
@@ -55,7 +54,7 @@ def test_merged_composes_with_fused_quant(setup):
 
     merged = merge_lora(params, "t2i", cfg.lora)
     fused = fuse_in_proj(merged)
-    h0, _ = backbone_forward(params, emb, "t2i", cfg)
+    h0, _ = jax.jit(lambda p: backbone_forward(p, emb, "t2i", cfg))(params)
     h1, _ = jax.jit(lambda p: backbone_forward(p, emb, "t2i", cfg))(fused)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=2e-5, atol=2e-5)
 

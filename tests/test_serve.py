@@ -16,6 +16,7 @@ from omnimamba_tpu.data.prompting import UniversalPrompting
 from omnimamba_tpu.data.tokenizer import OfflineTokenizer
 from omnimamba_tpu.models.omnimamba import init_omnimamba
 from omnimamba_tpu.serve.server import OmniMambaService, make_server
+from omnimamba_tpu.serve.server import _Batcher as _ServeBatcher
 from tests.test_omnimamba import tiny_model
 
 
@@ -305,3 +306,63 @@ def test_merged_single_task_service():
     assert isinstance(out[0]["text"], str)
     with pytest.raises(RuntimeError, match="merged for task"):
         service.t2i_batch_fn([{"prompt": "a red square"}])
+
+
+def test_batcher_drains_queue_on_stop():
+    """Requests still queued when the worker exits must fail fast and
+    release _pending (not hang their submitters / wedge idle())."""
+    import time
+
+    release = threading.Event()
+
+    def slow_batch(payloads):
+        release.wait(timeout=10)
+        return [{"ok": True} for _ in payloads]
+
+    lane = _ServeBatcher("test", slow_batch, 1, 0.0)
+    lane.start()
+    results = []
+
+    def bg():
+        try:
+            results.append(lane.submit({}, timeout=30))
+        except RuntimeError as e:
+            results.append(str(e))
+
+    threads = [threading.Thread(target=bg) for _ in range(3)]
+    for t in threads:
+        t.start()
+    time.sleep(0.3)  # worker holds one; others queue behind it
+    lane.stop()
+    release.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert len(results) == 3
+    assert any(r == {"ok": True} for r in results)
+    for _ in range(100):
+        if lane.idle():
+            break
+        time.sleep(0.05)
+    assert lane.idle()
+
+
+def test_temperature_nan_rejected():
+    """NaN passes min/max/round and never hits the jit cache (nan != nan)
+    — must snap to the default instead of compiling per request."""
+    model = tiny_model()
+    params = init_omnimamba(jax.random.PRNGKey(0), model)
+    uni = UniversalPrompting(OfflineTokenizer(base_vocab=49))
+    model = model._replace(
+        sptids={k: v % model.cfg.vocab_size for k, v in uni.sptids_dict.items()}
+    )
+    service = OmniMambaService(
+        model, params, uni, t2i_batch=2, mmu_batch=2, mmu_max_new=4,
+        dtype=jnp.float32,
+    )
+    for _ in range(3):
+        out = service.t2i_batch_fn(
+            [{"prompt": "x", "temperature": float("nan"), "top_k": 2}]
+        )
+        assert "image_png_b64" in out[0]
+    temps = {k[-1] for k in service._jit if isinstance(k, tuple) and k[0] == "t2i"}
+    assert temps == {1.0}

@@ -220,3 +220,15 @@ def test_trainer_periodic_eval(tmp_path):
     tr.train()
     evals = [l for l in logs if "eval_t2i_loss" in str(l)]
     assert len(evals) == 2
+
+
+def test_accumulate_batches_raises_on_starved_epoch():
+    """grad_accum larger than the epoch would yield nothing and spin the
+    train loop forever — must raise instead."""
+    import numpy as np
+
+    from omnimamba_tpu.train.trainer import accumulate_batches
+
+    batches = [{"a": np.zeros((2, 3))}] * 3
+    with pytest.raises(ValueError, match="grad_accum"):
+        list(accumulate_batches(iter(batches), 4))
