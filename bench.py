@@ -66,6 +66,7 @@ class Record:
             "t2i_int8_images_per_sec": None,
             "mmu_tok_per_sec_b48_int8": None,
             "mmu_tok_per_sec_best": None,
+            "mmu_tok_per_sec_b96_int8state": None,
             "mmu_tok_per_sec_b1_int8": None,
             "train_step_ms_b8": None,
             "train_mfu_pct": None,
@@ -310,6 +311,32 @@ def main():
         log(
             f"MMU decode best (B={B2}, int8+bf16-state): "
             f"{REC.extra['mmu_tok_per_sec_best']:.0f} tok/s/chip"
+        )
+
+    @section("mmu_int8_state_b96", est_cold_s=240)
+    def _mmu_int8_state():
+        # scaled-int8 SSM state: halves the bf16-state traffic that sets
+        # the measured decode DMA ceiling (ops/quant.quantize_ssm_state)
+        qp = qparams_box.get("q", params)
+        B2 = 96
+        ids2 = jnp.asarray(rng.integers(0, cfg.vocab_size, (B2, L0)), jnp.int32)
+        emb2 = embed_text(qp["mamba"], ids2, jnp.bfloat16)
+        mmu_q = jax.jit(
+            lambda p, i, e: generate(
+                p, cfg, input_ids=i, input_embeddings=e, task="mmu",
+                max_length=L0 + T, sample=SampleParams(top_k=1),
+                cache_dtype="int8",
+            ).sequences
+        )
+        out = mmu_q(qp["mamba"], ids2, emb2)
+        sync(out)
+        t0 = time.time()
+        out = mmu_q(qp["mamba"], ids2, emb2)
+        sync(out)
+        REC.extra["mmu_tok_per_sec_b96_int8state"] = B2 * T / (time.time() - t0)
+        log(
+            f"MMU decode int8-STATE (B={B2}): "
+            f"{REC.extra['mmu_tok_per_sec_b96_int8state']:.0f} tok/s/chip"
         )
 
     @section("mmu_b1_int8", est_cold_s=200)

@@ -118,7 +118,15 @@ def generate(
     )
     if cache_dtype == "auto":
         cache_dtype = jnp.bfloat16 if B >= 16 else None
-    if cache_dtype is not None and hasattr(cache, "_replace"):
+    if cache_dtype == "int8" or cache_dtype is jnp.int8:
+        # scaled-int8 state ({"q","scale"} per layer; ops/quant): halves
+        # the bf16 state traffic again. ssd_step de/requantizes in
+        # registers; error is decay-contracted (does not compound).
+        from omnimamba_tpu.ops.quant import quantize_ssm_state
+
+        assert decode_impl != "fused", "int8 state rides the scan path"
+        cache = cache._replace(ssm_state=quantize_ssm_state(cache.ssm_state))
+    elif cache_dtype is not None and hasattr(cache, "_replace"):
         cache = cache._replace(ssm_state=cache.ssm_state.astype(cache_dtype))
 
     # whole-model fused Pallas decode step (ops/decode_fused.py): streams

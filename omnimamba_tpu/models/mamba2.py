@@ -284,6 +284,10 @@ def mamba2_forward(
     Ch = Cm.reshape(B, L, G, N)
 
     init_state = initial_cache.ssm_state if initial_cache is not None else None
+    if isinstance(init_state, dict):  # continuing from a scaled-int8 decode
+        from omnimamba_tpu.ops.quant import dequantize_ssm_state
+
+        init_state = dequantize_ssm_state(init_state)
     if scan_impl == "auto":
         # Pallas on TPU (fast compile, fused VMEM pipeline); XLA elsewhere.
         # Training paths pass "chunked" explicitly (differentiable).

@@ -140,6 +140,10 @@ def speculative_generate(
         params, input_embeddings, task, cfg,
         scan_impl=scan_impl, return_cache=True,
     )
+    assert cache_dtype != "int8", (
+        "scaled-int8 state targets batched decode; speculative is B=1 "
+        "(weight-bound) — use the plain generate path for int8 state"
+    )
     if cache_dtype is not None:
         t_cache = t_cache._replace(ssm_state=t_cache.ssm_state.astype(cache_dtype))
     logits0 = apply_head(params, hidden[:, -1], task)

@@ -206,3 +206,30 @@ def fuse_in_proj(params: Dict) -> Dict:
     elif isinstance(layers, dict):
         tree["layers"] = fuse_layer(layers)
     return out
+
+
+def quantize_ssm_state(state: jax.Array) -> Dict[str, jax.Array]:
+    """Scaled-int8 SSM decode state: per-(batch, head, P-row) symmetric
+    scale over the d_state axis.
+
+    Bytes vs bf16: 0.5x for q + 4/(2N) for the scale (~1.6% at N=128) —
+    the batched-decode DMA ceiling is set by exactly this traffic. Unlike
+    fp8 (measured NEGATIVE on v5e — no native fp8, emulated converts cost
+    more than the saved bandwidth), int8<->f32 converts are native ops.
+    Requantization error does NOT compound across decode steps: the decay
+    factor exp(dt*A) < 1 contracts the carried error geometrically, so the
+    total stays a small multiple of one rounding step (simulated over 256
+    steps: max relative y error ~9% vs bf16-state's ~3.4% on random
+    dynamics; bounded, flat in t).
+    """
+    sf = state.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(sf), axis=-1, keepdims=True) / 127.0 + 1e-20
+    q = jnp.round(sf / scale).astype(jnp.int8)
+    return {"q": q, "scale": scale}
+
+
+def dequantize_ssm_state(state) -> jax.Array:
+    """fp32 view of an SSM state in either representation."""
+    if isinstance(state, dict):
+        return state["q"].astype(jnp.float32) * state["scale"]
+    return state.astype(jnp.float32)

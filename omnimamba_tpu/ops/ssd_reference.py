@@ -115,7 +115,17 @@ def ssd_step(
 
     decay = jnp.exp(dtf * A.astype(jnp.float32))  # (B,H)
     dtx = dtf[..., None] * xf  # (B,H,P)
-    sf = state.astype(jnp.float32)
+    # scaled-int8 state (ops/quant.quantize_ssm_state): dict {"q","scale"}
+    # — dequantize into registers, requantize the update on the way out;
+    # the carried HBM traffic (this step's bottleneck at serving batches)
+    # is the int8 tensor + per-row scales
+    quantized = isinstance(state, dict)
+    if quantized:
+        from omnimamba_tpu.ops.quant import dequantize_ssm_state
+
+        sf = dequantize_ssm_state(state)
+    else:
+        sf = state.astype(jnp.float32)
     if Bsz >= 16:  # static under jit: one compiled branch
         sC = jnp.einsum("bhpn,bhn->bhp", sf, Cf)
         BC = jnp.einsum("bhn,bhn->bh", Bf, Cf)
@@ -129,5 +139,10 @@ def ssd_step(
     if D is not None:
         y = y + xf * D.astype(jnp.float32)[None, :, None]
     # state dtype follows the carried cache (fp32 default; bf16 halves the
-    # dominant HBM traffic of batched decode at some fidelity cost)
+    # dominant HBM traffic of batched decode at some fidelity cost; scaled
+    # int8 halves it again)
+    if quantized:
+        from omnimamba_tpu.ops.quant import quantize_ssm_state
+
+        return y.astype(x_t.dtype), quantize_ssm_state(new_state)
     return y.astype(x_t.dtype), new_state.astype(state.dtype)

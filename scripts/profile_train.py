@@ -257,11 +257,14 @@ def bench_decode(args):
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 8)), jnp.int32)
 
+    cache_dtype = "int8" if args.state_int8 else "auto"
+
     def run(p, ids):
         emb = embed_text(p, ids, jnp.bfloat16)
         out = generate(
             p, cfg, input_ids=ids, input_embeddings=emb, task="mmu",
             max_length=8 + T, sample=SampleParams(top_k=1),
+            cache_dtype=cache_dtype,
         )
         return out.sequences
 
@@ -301,6 +304,9 @@ def main():
     p.add_argument("--remat-policy", default=None, help="e.g. 'dots'")
     p.add_argument("--mmu", action="store_true",
                    help="stage-2 MIXED shape: t2i B + one 1182-tok mmu row")
+    p.add_argument("--state-int8", action="store_true",
+                   help="decode mode: carry the SSM state as scaled int8 "
+                   "(halves the bf16 state traffic again)")
     p.add_argument("--merge-lora", action="store_true",
                    help="decode mode: fold task LoRA into in_proj first")
     p.add_argument("--remat-mmu", default=None,

@@ -39,6 +39,11 @@ run mixed python scripts/profile_train.py step --mmu
 # 4. d_state lever: decode throughput at d_state=64 vs 128 (int8, B=96)
 run dstate128 python scripts/profile_train.py decode --batch 96 --tokens 256 --int8
 run dstate64 python scripts/profile_train.py decode --batch 96 --tokens 256 --int8 --d-state 64
+# 4a. scaled-int8 SSM state at the serving sweet spot (baseline r3:
+#     int8 weights + bf16 state B=96 = 3569 tok/s at the DMA ceiling;
+#     int8 state halves that traffic — the first lever UNDER the ceiling)
+run state_int8 python scripts/profile_train.py decode --batch 96 --tokens 256 --int8 --state-int8
+run state_int8_b48 python scripts/profile_train.py decode --batch 48 --tokens 256 --int8 --state-int8
 # 4b. LoRA-merge decode A/B at B=1 (merge removes 5 tiny matmuls/layer/step)
 run b1_plain python scripts/profile_train.py decode --batch 1 --tokens 256 --int8
 run b1_merged python scripts/profile_train.py decode --batch 1 --tokens 256 --int8 --merge-lora

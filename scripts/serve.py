@@ -36,6 +36,10 @@ def main():
     parser.add_argument("--bf16-state", action="store_true",
                         help="carry decode SSM state in bf16 (higher batched "
                              "throughput; audit greedy fidelity per model)")
+    parser.add_argument("--int8-state", action="store_true",
+                        help="carry decode SSM state as scaled int8 (halves "
+                             "bf16-state traffic again; error is decay-"
+                             "contracted — audit fidelity per model)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -82,7 +86,8 @@ def main():
         model, params, uni,
         t2i_batch=args.t2i_batch, mmu_batch=args.mmu_batch,
         mmu_max_new=args.mmu_max_new,
-        cache_dtype=jnp2.bfloat16 if args.bf16_state else "auto",
+        cache_dtype=("int8" if args.int8_state
+                     else jnp2.bfloat16 if args.bf16_state else "auto"),
         merge_lora_task=args.merge_lora_task,
     )
     server = make_server(service, args.host, args.port, args.max_wait_ms)

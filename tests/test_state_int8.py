@@ -1,0 +1,92 @@
+"""Scaled-int8 SSM decode state ({"q","scale"} cache, ops/quant):
+per-step de/requantization in ssd_step, bounded error across many steps,
+and the end-to-end cache_dtype="int8" generate path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnimamba_tpu.ops.quant import dequantize_ssm_state, quantize_ssm_state
+from omnimamba_tpu.ops.ssd_reference import ssd_step
+
+
+def _step_inputs(key, B, H, P, G, N):
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (B, H, P), jnp.float32)
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (B, H)) - 1.0)
+    A = -jnp.exp(jax.random.uniform(ks[2], (H,), minval=0.0, maxval=1.5))
+    Bm = jax.random.normal(ks[3], (B, G, N)) / np.sqrt(N)
+    Cm = jax.random.normal(ks[4], (B, G, N)) / np.sqrt(N)
+    D = jnp.linspace(0.5, 1.5, H)
+    return x, dt, A, Bm, Cm, D
+
+
+def test_quantize_roundtrip():
+    s = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 16)) * 3.0
+    q = quantize_ssm_state(s)
+    assert q["q"].dtype == jnp.int8 and q["scale"].shape == (2, 4, 8, 1)
+    err = jnp.abs(dequantize_ssm_state(q) - s).max() / jnp.abs(s).max()
+    assert float(err) < 1.5 / 127
+
+
+@pytest.mark.parametrize("B", [2, 17])  # < and >= the distributed-form cutoff
+def test_step_quantized_matches_fp32(B):
+    H, P, G, N = 4, 8, 2, 16
+    x, dt, A, Bm, Cm, D = _step_inputs(jax.random.PRNGKey(1), B, H, P, G, N)
+    s0 = jax.random.normal(jax.random.PRNGKey(2), (B, H, P, N)) * 0.5
+
+    y_ref, s_ref = jax.jit(ssd_step)(x, dt, A, Bm, Cm, D, s0)
+    y_q, s_q = jax.jit(ssd_step)(x, dt, A, Bm, Cm, D, quantize_ssm_state(s0))
+    assert isinstance(s_q, dict) and s_q["q"].dtype == jnp.int8
+    scale = float(jnp.abs(y_ref).max())
+    assert float(jnp.abs(y_q - y_ref).max()) / scale < 0.05
+    serr = jnp.abs(dequantize_ssm_state(s_q) - s_ref).max() / jnp.abs(s_ref).max()
+    assert float(serr) < 0.05
+
+
+def test_error_bounded_over_many_steps():
+    """Requantization error must be decay-contracted (flat in t), not
+    compounding — 64 recurrent steps stay within a small multiple of one
+    rounding step."""
+    B, H, P, G, N = 2, 4, 8, 1, 16
+    s32 = jnp.zeros((B, H, P, N))
+    sq = quantize_ssm_state(s32)
+    step = jax.jit(ssd_step)
+    errs = []
+    for t in range(64):
+        x, dt, A, Bm, Cm, D = _step_inputs(jax.random.PRNGKey(100 + t), B, H, P, G, N)
+        y32, s32 = step(x, dt, A, Bm, Cm, D, s32)
+        yq, sq = step(x, dt, A, Bm, Cm, D, sq)
+        errs.append(float(jnp.abs(yq - y32).max() / (jnp.abs(y32).max() + 1e-9)))
+    assert max(errs[32:]) < 0.15  # bounded tail, no blow-up
+    assert errs[-1] < 4 * max(errs[:4]) + 0.05  # flat, not compounding
+
+
+def test_generate_int8_state_end_to_end():
+    from omnimamba_tpu.models.backbone import embed_text, init_backbone
+    from omnimamba_tpu.models.generation import generate
+    from omnimamba_tpu.ops.sampling import SampleParams
+    from tests.test_backbone import tiny_config
+
+    cfg = tiny_config()
+    params = init_backbone(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ids = jnp.arange(8, dtype=jnp.int32)[None].repeat(2, 0)
+    emb = embed_text(params, ids, jnp.float32)
+
+    def run(cache_dtype):
+        return jax.jit(
+            lambda p, i, e: generate(
+                p, cfg, input_ids=i, input_embeddings=e, task="mmu",
+                max_length=16, sample=SampleParams(top_k=1),
+                cache_dtype=cache_dtype,
+            ).sequences
+        )(params, ids, emb)
+
+    seq_ref = np.asarray(run(None))
+    seq_q = np.asarray(run("int8"))
+    assert seq_q.shape == seq_ref.shape
+    assert ((0 <= seq_q) & (seq_q < cfg.vocab_size + 10)).all()
+    # tiny fp32 model, loose check: most greedy tokens should agree
+    agree = (seq_q == seq_ref).mean()
+    assert agree > 0.7, float(agree)
