@@ -44,6 +44,37 @@ run dstate64 python scripts/profile_train.py decode --batch 96 --tokens 256 --in
 #     int8 state halves that traffic — the first lever UNDER the ceiling)
 run state_int8 python scripts/profile_train.py decode --batch 96 --tokens 256 --int8 --state-int8
 run state_int8_b48 python scripts/profile_train.py decode --batch 48 --tokens 256 --int8 --state-int8
+# 4a2. CFG T2I with int8 state (the priced structural lever: r3 CFG sat at
+#      94% of the bf16-state DMA ceiling; int8 state moves the ceiling)
+run cfg_int8state python -c "
+import sys, time; sys.path.insert(0, '/root/repo')
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update('jax_compilation_cache_dir', '/tmp/omnimamba_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+from omnimamba_tpu.config import MambaConfig, VisionConfig, VQConfig
+from omnimamba_tpu.models.backbone import init_backbone
+from omnimamba_tpu.models.omnimamba import OmniMambaModel, t2i_generate
+from omnimamba_tpu.models.vq import init_vq
+from omnimamba_tpu.ops.quant import fuse_in_proj, quantize_decode_params
+from omnimamba_tpu.ops.sampling import SampleParams
+cfg = MambaConfig(); vq_cfg = VQConfig()
+model = OmniMambaModel(cfg=cfg, vision_cfg=VisionConfig(), vq_cfg=vq_cfg, sptids={})
+params = {'mamba': init_backbone(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
+          'vq': init_vq(jax.random.PRNGKey(1), vq_cfg, dtype=jnp.bfloat16)}
+qp = fuse_in_proj(quantize_decode_params(params))
+rng = np.random.default_rng(0)
+def sync(x):
+    np.asarray(jax.tree.leaves(x)[0].ravel()[-1])
+for n_cfg in (48, 64):
+    cond = rng.integers(0, cfg.vocab_size, (n_cfg, 72))
+    ids = jnp.asarray(np.concatenate([cond, np.tile(cond[:1], (n_cfg, 1))]), jnp.int32)
+    gen = jax.jit(lambda p, i: t2i_generate(p, model, i, cfg_scale=7.5,
+        sample=SampleParams(top_k=2, temperature=1.0), key=jax.random.PRNGKey(0),
+        decode_image=True, cache_dtype='int8')[0])
+    imgs = gen(qp, ids); sync(imgs)
+    t0 = time.time(); imgs = gen(qp, ids); sync(imgs)
+    print(f'CFG int8-state: {n_cfg} imgs in {time.time()-t0:.2f}s = {n_cfg/(time.time()-t0):.2f} img/s', flush=True)
+"
 # 4b. LoRA-merge decode A/B at B=1 (merge removes 5 tiny matmuls/layer/step)
 run b1_plain python scripts/profile_train.py decode --batch 1 --tokens 256 --int8
 run b1_merged python scripts/profile_train.py decode --batch 1 --tokens 256 --int8 --merge-lora
