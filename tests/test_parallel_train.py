@@ -184,3 +184,37 @@ def test_sharded_grad_accum_step():
         state2.params["mamba"], params["mamba"],
     )
     assert max(jax.tree.leaves(delta)) > 0
+
+
+def test_int8_state_decode_under_tp_mesh():
+    """cache_dtype='int8' (scaled-int8 SSM state dict) under a tp-sharded
+    mesh: GSPMD must propagate shardings through the {'q','scale'} carry,
+    and the greedy stream must track the unsharded fp32-state stream."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from omnimamba_tpu.models.backbone import embed_text, init_backbone
+    from omnimamba_tpu.models.generation import generate
+    from omnimamba_tpu.ops.sampling import SampleParams
+    from tests.test_backbone import tiny_config
+
+    cfg = tiny_config()
+    params = init_backbone(jax.random.PRNGKey(6), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
+    emb = embed_text(params, ids, jnp.float32)
+    ref = generate(
+        params, cfg, input_ids=ids, input_embeddings=emb, task="mmu",
+        max_length=20, sample=SampleParams(top_k=1),
+    ).sequences
+
+    mesh = create_mesh({"tp": 2})
+    sparams = shard_params(mesh, params)
+    rep = NamedSharding(mesh, P())
+    out = jax.jit(
+        lambda p, i, e: generate(
+            p, cfg, input_ids=i, input_embeddings=e, task="mmu",
+            max_length=20, sample=SampleParams(top_k=1), cache_dtype="int8",
+        ).sequences
+    )(sparams, jax.device_put(ids, rep), jax.device_put(emb, rep))
+    agree = (np.asarray(out) == np.asarray(ref)).mean()
+    assert agree > 0.7, float(agree)
