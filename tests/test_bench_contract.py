@@ -34,6 +34,7 @@ def test_headline_emits_parseable_json_with_extras(monkeypatch, capsys):
     assert rec["vs_baseline"] == 2.1
     assert set(rec["extra"]) == {
         "t2i_cfg_images_per_sec",
+        "t2i_cfg_int8state_images_per_sec",
         "t2i_int8_images_per_sec",
         "mmu_tok_per_sec_b48_int8",
         "mmu_tok_per_sec_best",
