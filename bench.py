@@ -455,9 +455,14 @@ def main():
         from omnimamba_tpu.models.omnimamba import init_omnimamba
         from omnimamba_tpu.train.trainer import create_train_state, make_train_step
 
+        from omnimamba_tpu.data.tokenizer import default_sptids
+
         mcfg = MambaConfig(mmu_task=True)
+        # mmu_loss wraps input_ids with real special-token ids — an empty
+        # sptids dict KeyErrors inside the traced loss
         mmodel = OmniMambaModel(
-            cfg=mcfg, vision_cfg=VisionConfig(), vq_cfg=vq_cfg, sptids={}
+            cfg=mcfg, vision_cfg=VisionConfig(), vq_cfg=vq_cfg,
+            sptids=default_sptids(),
         )
         mtcfg = TrainConfig(stage="finetune", t2i_task=True, mmu_task=True)
         mparams = init_omnimamba(

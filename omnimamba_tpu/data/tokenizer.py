@@ -217,3 +217,16 @@ def add_omnimamba_tokens(tokenizer, specials: SpecialTokens = SpecialTokens()):
     sptids = {tok: int(tokenizer.convert_tokens_to_ids(tok)) for tok in specials.order}
     sptids["<|pad|>"] = int(tokenizer.pad_token_id)
     return sptids
+
+
+def default_sptids(specials: SpecialTokens = SpecialTokens()) -> "dict[str, int]":
+    """Canonical sptids without constructing a tokenizer.
+
+    The reference adds [PAD] then the 9 specials to the 50277-token GPT-NeoX
+    vocab (models/mamba_vlm.py:32-37), giving ids 50277..50286 — all below
+    the default MambaConfig.padded_vocab_size (50288), so synthetic bench /
+    profile models built from MambaConfig() can use these directly instead
+    of an empty dict (which KeyErrors in mmu paths)."""
+    sptids = {tok: GPT_NEOX_BASE_VOCAB + 1 + i for i, tok in enumerate(specials.order)}
+    sptids["<|pad|>"] = GPT_NEOX_BASE_VOCAB
+    return sptids

@@ -61,6 +61,7 @@ def _ssd_kernel(
     heads_per_batch: int,
     tiles_per_batch: int,
     mxu_dtype,
+    precision,
     emit_chunk_states: bool,
 ):
     if emit_chunk_states:
@@ -108,7 +109,8 @@ def _ssd_kernel(
 
     # scoresT_jt = C_t . B_j, shared across the tile's heads (ngroups=1)
     scoresT = jax.lax.dot_general(
-        Bmx, Cmx, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        Bmx, Cmx, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
     )  # (Q, Q) indexed (j, t)
     if nt:
         trow = jax.lax.broadcasted_iota(jnp.int32, (TT, TT), 0)  # j
@@ -160,6 +162,7 @@ def _ssd_kernel(
                         dtx_mx[:, jt * TT : (jt + 1) * TT],
                         (St * wt).astype(mxu_dtype),
                         preferred_element_type=jnp.float32,
+                        precision=precision,
                     )
                 y_cols.append(acc)
             yT = jnp.concatenate(y_cols, axis=1)  # (P, Q)
@@ -167,7 +170,8 @@ def _ssd_kernel(
             decayT = jnp.exp(jnp.minimum(s_t - s_j, 0.0))  # (Q, Q) (j, t)
             WT = masked_scoresT * decayT.astype(mxu_dtype)
             yT = jnp.dot(
-                dtx_all[h].astype(mxu_dtype), WT, preferred_element_type=jnp.float32
+                dtx_all[h].astype(mxu_dtype), WT,
+                preferred_element_type=jnp.float32, precision=precision,
             )  # (P, Q)
 
         state = state_ref[h]  # (P, N) fp32
@@ -176,6 +180,7 @@ def _ssd_kernel(
             Cmx,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )  # (P, Q)
         yT = yT + jnp.exp(s_t) * y_interT + D * xf[h]
         y_ref[0, h] = yT.astype(y_ref.dtype)
@@ -185,6 +190,7 @@ def _ssd_kernel(
             (dtx_all[h] * carry).astype(mxu_dtype),
             Bmx,
             preferred_element_type=jnp.float32,
+            precision=precision,
         )  # (P, N)
         state_ref[h] = new_state
         state_out_ref[0, h] = new_state.astype(state_out_ref.dtype)
@@ -290,9 +296,16 @@ def ssd_pallas(
         scratch_shapes=[pltpu.VMEM((Hb, P, N), jnp.float32)],
     )
 
-    # bf16 activations take the native-MXU path (fp32 accumulation); fp32
-    # inputs keep exact fp32 operands (the fidelity/oracle path)
+    # bf16 activations take the native-MXU path (fp32 accumulation). fp32
+    # inputs are the fidelity/oracle path: without an explicit precision the
+    # MXU truncates fp32 dot operands to bf16 (measured 4e-3 rel err on TPU,
+    # amplified to 8e-2 on dA through the folded decay-cotangent
+    # cancellation — scripts/tpu_smoke.py), so request the multi-pass
+    # fp32-exact lowering there; bf16 training keeps the fast default.
     mxu_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    precision = (
+        jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32 else None
+    )
 
     outs = pl.pallas_call(
         functools.partial(
@@ -302,6 +315,7 @@ def ssd_pallas(
             heads_per_batch=H,
             tiles_per_batch=HT,
             mxu_dtype=mxu_dtype,
+            precision=precision,
             emit_chunk_states=return_chunk_states,
         ),
         grid_spec=grid_spec,

@@ -82,6 +82,7 @@ def _ssd_bwd_kernel(
     tiles_per_batch: int,
     tiles_per_group: int,
     mxu_dtype,
+    precision,
 ):
     b = pl.program_id(0)
     cr = pl.program_id(1)  # walks chunks in REVERSE via the index maps
@@ -126,7 +127,7 @@ def _ssd_bwd_kernel(
     def _():
         scores_ref[...] = jax.lax.dot_general(
             Cmx, Bmx, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
 
     scores = scores_ref[...]  # (Q, Q) fp32, (t, j)
@@ -198,7 +199,7 @@ def _ssd_bwd_kernel(
                     sr_blk = s_row[:, jt * TT : (jt + 1) * TT]  # (1, TT)
                     St = scores[it * TT : (it + 1) * TT, jt * TT : (jt + 1) * TT]
                     Gt = jax.lax.dot_general(
-                        g_blk, xd_blk, dims_p, preferred_element_type=f32
+                        g_blk, xd_blk, dims_p, preferred_element_type=f32, precision=precision
                     )  # (TT, TT): g_t · dt_j x_j
                     if it == jt:
                         wt = jnp.exp(
@@ -210,13 +211,13 @@ def _ssd_bwd_kernel(
                     gw = (Gt * wt).astype(mxu_dtype)
                     sw = (St * wt).astype(mxu_dtype)
                     accC = accC + jax.lax.dot_general(
-                        gw, B_blk, dims_t, preferred_element_type=f32
+                        gw, B_blk, dims_t, preferred_element_type=f32, precision=precision
                     )
                     dB1_accs[jt] = dB1_accs[jt] + jax.lax.dot_general(
-                        gw, C_blk, dims_p, preferred_element_type=f32
+                        gw, C_blk, dims_p, preferred_element_type=f32, precision=precision
                     )
                     Kt_accs[jt] = Kt_accs[jt] + jax.lax.dot_general(
-                        g_blk, sw, dims_t, preferred_element_type=f32
+                        g_blk, sw, dims_t, preferred_element_type=f32, precision=precision
                     )
                 dC1_rows.append(accC)
             dC1 = jnp.concatenate(dC1_rows, axis=0)  # (Q, N)
@@ -228,29 +229,29 @@ def _ssd_bwd_kernel(
             # t >= j; the select only guards MASKED entries)
             w = jnp.exp(jnp.where(maskb, s_col - s_row, -jnp.inf))
             Gxd = jax.lax.dot_general(  # Gxd_tj = g_t · x_j dt_j
-                g_mx, xd_mx, dims_p, preferred_element_type=f32
+                g_mx, xd_mx, dims_p, preferred_element_type=f32, precision=precision
             )  # (Q, Q)
             Gxdw = (Gxd * w).astype(mxu_dtype)
             SW = (scores * w).astype(mxu_dtype)
             dC1 = jax.lax.dot_general(  # (Gxd ∘ w) @ B
-                Gxdw, Bmx, dims_t, preferred_element_type=f32
+                Gxdw, Bmx, dims_t, preferred_element_type=f32, precision=precision
             )
             dB1d = jax.lax.dot_general(  # (Gxd ∘ w)ᵀ @ C, contract t —
-                Gxdw, Cmx, dims_p, preferred_element_type=f32
+                Gxdw, Cmx, dims_p, preferred_element_type=f32, precision=precision
             )  # the dt_col scale rides xd
             Kt1 = jax.lax.dot_general(  # K_j = Σ_t SW_tj g_t
-                g_mx, SW, dims_t, preferred_element_type=f32
+                g_mx, SW, dims_t, preferred_element_type=f32, precision=precision
             )  # (P, Q)
 
         # --- dC ---------------------------------------------------------
         dC_h = dC1 + jax.lax.dot_general(  # e^{s_t} g_t h_in
-            ge_mx, h_mx, dims_p, preferred_element_type=f32
+            ge_mx, h_mx, dims_p, preferred_element_type=f32, precision=precision
         )
         dC_acc = dC_acc + dC_h
 
         # --- dB ---------------------------------------------------------
         dB2 = jax.lax.dot_general(  # dt_j e^{tot-s_j} (x_j · adj)
-            xc_mx, adj_mx, dims_p, preferred_element_type=f32
+            xc_mx, adj_mx, dims_p, preferred_element_type=f32, precision=precision
         )
         dB_h = dB1d + dB2
         dB_acc = dB_acc + dB_h
@@ -258,7 +259,7 @@ def _ssd_bwd_kernel(
         # --- K, dx ------------------------------------------------------
         Wt = jax.lax.dot_general(  # Wt_pj = (adj B_jᵀ)_p
             adj_mx, Bmx, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=precision,
         )  # (P, Q)
         Kt = Kt1 + carry_row * Wt
         dx_ref[0, h] = (dt_row * Kt).astype(dx_ref.dtype)
@@ -284,7 +285,7 @@ def _ssd_bwd_kernel(
         # --- adjoint carry to the earlier chunk ---------------------------
         adj_ref[t, h] = etot * adj + jax.lax.dot_general(
             ge_mx, Cmx, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )  # (P, N): Σ_t g_t e^{s_t} C_t — e^{s} rides the shared ge operand
 
     # batched suffix: da_kh = Σ_{t≥k} r_th — one (Q,Q)@(Q,Hb) dot for the
@@ -299,14 +300,14 @@ def _ssd_bwd_kernel(
         mask_b = mask.astype(jnp.bfloat16)
         dims = (((0,), (0,)), ((), ()))  # contract t, mask_tk = [t >= k]
         suffix = jax.lax.dot_general(
-            mask_b, r_hi, dims, preferred_element_type=jnp.float32
+            mask_b, r_hi, dims, preferred_element_type=jnp.float32, precision=precision
         ) + jax.lax.dot_general(
-            mask_b, r_lo, dims, preferred_element_type=jnp.float32
+            mask_b, r_lo, dims, preferred_element_type=jnp.float32, precision=precision
         )
     else:
         suffix = jax.lax.dot_general(
             mask, r_all, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )  # (Q, Hb)
     da_all = suffix + jnp.stack(bias_vals).reshape(1, hb)  # (Q, Hb)
     A_row = jnp.stack(A_vals).reshape(1, hb)
@@ -421,6 +422,11 @@ def _bwd_impl(
             tiles_per_batch=HT,
             tiles_per_group=tiles_per_group,
             mxu_dtype=mxu_dtype,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if mxu_dtype == jnp.float32
+                else None
+            ),
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -64,7 +64,12 @@ def bench_step(args):
         cfg = dataclasses.replace(
             cfg, mixer=dataclasses.replace(cfg.mixer, **mixer_kw)
         )
-    model = OmniMambaModel(cfg=cfg, vision_cfg=VisionConfig(), vq_cfg=VQConfig(), sptids={})
+    from omnimamba_tpu.data.tokenizer import default_sptids
+
+    # real special-token ids: the mmu flow's loss wraps input_ids with
+    # <|mmu|>/<|soi|>/<|eoi|>/<|sot|> (KeyError with an empty dict)
+    model = OmniMambaModel(cfg=cfg, vision_cfg=VisionConfig(), vq_cfg=VQConfig(),
+                           sptids=default_sptids())
     remat = False if args.no_remat else (args.remat_policy or "proj")
     tcfg = TrainConfig(stage="finetune", t2i_task=True, mmu_task=args.mmu,
                        scan_impl=args.scan_impl, remat=remat,

@@ -115,3 +115,22 @@ def test_matches_hf_gpt_neox_when_files_exist():
         if not s:
             continue
         assert ours.encode(s) == hf.encode(s), s
+
+
+def test_default_sptids_covers_mmu_wrap_and_default_vocab():
+    """bench.py/profile_train.py build synthetic models with default_sptids();
+    the mmu flow's _mmu_wrap_ids indexes these four tokens and the ids must
+    sit inside the default MambaConfig's padded text vocab (r4 regression:
+    sptids={} KeyError'd the stage-2 mixed measurement)."""
+    from omnimamba_tpu.config import MambaConfig
+    from omnimamba_tpu.data.tokenizer import (
+        OfflineTokenizer,
+        add_omnimamba_tokens,
+        default_sptids,
+    )
+
+    sp = default_sptids()
+    for tok in ("<|mmu|>", "<|soi|>", "<|eoi|>", "<|sot|>"):
+        assert tok in sp
+    assert max(sp.values()) < MambaConfig().padded_vocab_size
+    assert sp == add_omnimamba_tokens(OfflineTokenizer())
