@@ -120,8 +120,10 @@ def generate(
         cache_dtype = jnp.bfloat16 if B >= 16 else None
     if cache_dtype == "int8" or cache_dtype is jnp.int8:
         # scaled-int8 state ({"q","scale"} per layer; ops/quant): halves
-        # the bf16 state traffic again. ssd_step de/requantizes in
-        # registers; error is decay-contracted (does not compound).
+        # the bf16 state FOOTPRINT. ssd_step de/requantizes in registers;
+        # error is decay-contracted (does not compound). Measured THROUGHPUT
+        # NEGATIVE on v5e-1 (r4: B=96 2123 vs 3621 tok/s) — use only when
+        # HBM capacity, not bandwidth, is the constraint.
         from omnimamba_tpu.ops.quant import quantize_ssm_state
 
         assert decode_impl != "fused", "int8 state rides the scan path"

@@ -221,6 +221,15 @@ def quantize_ssm_state(state: jax.Array) -> Dict[str, jax.Array]:
     total stays a small multiple of one rounding step (simulated over 256
     steps: max relative y error ~9% vs bf16-state's ~3.4% on random
     dynamics; bounded, flat in t).
+
+    MEASURED NEGATIVE on v5e-1 (r4, 1.3B int8 weights): B=96 2123 tok/s vs
+    3621 bf16-state (45.2 vs 26.5 ms/step); B=48 1967 vs ~2980. Together
+    with the d_state=64 null result (3644 vs 3621 tok/s at B=96), this
+    shows batched decode on this chip is NOT bound by SSM-state bytes —
+    the in-register quantize/dequantize VPU passes only add cost. Kept as
+    an opt-in (cache_dtype='int8') for HBM-capacity-constrained configs
+    (halves state footprint, e.g. to push the >96-stream cliff), not for
+    throughput.
     """
     sf = state.astype(jnp.float32)
     scale = jnp.max(jnp.abs(sf), axis=-1, keepdims=True) / 127.0 + 1e-20

@@ -34,11 +34,9 @@ def test_headline_emits_parseable_json_with_extras(monkeypatch, capsys):
     assert rec["vs_baseline"] == 2.1
     assert set(rec["extra"]) == {
         "t2i_cfg_images_per_sec",
-        "t2i_cfg_int8state_images_per_sec",
         "t2i_int8_images_per_sec",
         "mmu_tok_per_sec_b48_int8",
         "mmu_tok_per_sec_best",
-        "mmu_tok_per_sec_b96_int8state",
         "mmu_tok_per_sec_b1_int8",
         "train_step_ms_b8",
         "train_mfu_pct",
