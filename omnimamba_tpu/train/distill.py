@@ -201,7 +201,20 @@ def acceptance_eval(
     task: str = "mmu",
     dtype=jnp.bfloat16,
 ) -> Dict:
-    """Held-out acceptance + stream-identity check (B=1 per prompt)."""
+    """Held-out acceptance + stream-identity check (B=1 per prompt).
+
+    NOTE on stream_identical under bf16 + RANDOM weights: the speculative
+    verify pass scores k tokens in one batched forward while the plain
+    path decodes step-by-step — different summation orders. In fp32 the
+    streams are exactly equal (tests/test_speculative.py); in bf16 with
+    random weights argmax margins sit at rounding scale and flip
+    (CLAUDE.md fidelity note), so False here on an untrained model is
+    expected numerics, not a rejection-rule bug. Measured r4 on-chip:
+    4-layer distilled draft reaches CE 0.002 / top1 1.0 on its distill
+    set, but held-out acceptance on random-weights greedy streams is
+    ~0.5-1% and speculative LOSES (104 vs 202 tok/s B=1) — acceptance on
+    an untrained target measures nothing about a trained one; the r3 echo
+    workload (6.3x) is the existence proof for predictable streams."""
     spec = jax.jit(
         lambda p, dp, ids, emb: speculative_generate(
             p, cfg, input_ids=ids, input_embeddings=emb, task=task,
