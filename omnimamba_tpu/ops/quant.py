@@ -222,23 +222,25 @@ def quantize_ssm_state(state: jax.Array) -> Dict[str, jax.Array]:
     steps: max relative y error ~9% vs bf16-state's ~3.4% on random
     dynamics; bounded, flat in t).
 
-    MEASURED NEGATIVE on v5e-1 (r4, 1.3B int8 weights): B=96 2123 tok/s vs
-    3621 bf16-state (45.2 vs 26.5 ms/step); B=48 1967 vs ~2980. Together
-    with the d_state=64 null result (3644 vs 3621 tok/s at B=96), this
-    shows batched decode on this chip is NOT bound by SSM-state bytes —
-    the in-register quantize/dequantize VPU passes only add cost. Kept as
-    an opt-in (cache_dtype='int8') for HBM-capacity-constrained configs
-    (halves state footprint, e.g. to push the >96-stream cliff), not for
-    throughput.
+    LAYOUT MATTERS: the scale is stored SQUEEZED, shape (..., P) — not
+    keepdims (..., P, 1). XLA:TPU pads a buffer's minor dim to 128 lanes,
+    so a (B, H, P, 1) fp32 scale carried through the decode while_loop
+    occupies B*H*P*128*4 bytes in HBM — at 1.3B/B=96 that is ~201 MB/layer,
+    4x the int8 tensor it scales, and the first measurement of this path
+    (r4 queue, keepdims layout) LOST to bf16 state at every batch
+    (B=96: 2123 vs 3621 tok/s) on exactly that padded-scale traffic.
+    Squeezed, the scale is ~3 MB/layer. The d_state=64 decode null from
+    the same queue (3644 vs 3621 tok/s) is the same lane-padding physics:
+    shrinking a minor dim below 128 saves no HBM bytes.
     """
     sf = state.astype(jnp.float32)
-    scale = jnp.max(jnp.abs(sf), axis=-1, keepdims=True) / 127.0 + 1e-20
-    q = jnp.round(sf / scale).astype(jnp.int8)
+    scale = jnp.max(jnp.abs(sf), axis=-1) / 127.0 + 1e-20
+    q = jnp.round(sf / scale[..., None]).astype(jnp.int8)
     return {"q": q, "scale": scale}
 
 
 def dequantize_ssm_state(state) -> jax.Array:
     """fp32 view of an SSM state in either representation."""
     if isinstance(state, dict):
-        return state["q"].astype(jnp.float32) * state["scale"]
+        return state["q"].astype(jnp.float32) * state["scale"][..., None]
     return state.astype(jnp.float32)
