@@ -54,6 +54,55 @@ def sync(x):
     return np.asarray(leaf.ravel()[-1])
 
 
+def _previous_record() -> dict:
+    """Last round's parsed numbers from the newest BENCH_r*.json in the repo
+    root (the driver's official record). Used by the regression tripwire —
+    the r4 B=96 serving number silently halved (3568 -> 1690, one-off tunnel
+    drift as it turned out) and nothing flagged it; now any >20% drop on a
+    throughput axis prints a loud stderr warning as it is measured."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") or {}
+            if parsed.get("value") is not None:
+                out = dict(parsed.get("extra") or {})
+                out["__headline__"] = parsed["value"]
+                out["__src__"] = os.path.basename(path)
+                return out
+        except Exception:  # noqa: BLE001 — a corrupt record must not stop the bench
+            continue
+    return {}
+
+
+PREV = _previous_record()
+# axes where LOWER is better (latency/step-time); everything else is
+# throughput where a drop is the regression
+_LOWER_IS_BETTER = ("_ms", "_ms_")
+
+
+_WARNED: set = set()
+
+
+def check_regression(key: str, value) -> None:
+    prev = PREV.get("__headline__" if key == "value" else key)
+    if prev is None or value is None or not prev or key in _WARNED:
+        return
+    _WARNED.add(key)
+    lower_better = any(t in key for t in _LOWER_IS_BETTER) or key.endswith("_ms")
+    ratio = (value / prev) if not lower_better else (prev / value)
+    if ratio < 0.8:
+        log(
+            f"[bench] *** REGRESSION: {key} = {value:.3f} vs "
+            f"{prev:.3f} in {PREV.get('__src__', 'previous record')} "
+            f"({ratio:.2f}x) ***"
+        )
+
+
 class Record:
     """Cumulative driver-visible record: the headline line prints once as a
     floor, then the FULL line re-prints after every completed section (the
@@ -74,6 +123,10 @@ class Record:
         }
 
     def emit(self):
+        check_regression("value", self.value)
+        for k, v in self.extra.items():
+            if v is not None:
+                check_regression(k, v)
         print(
             json.dumps(
                 {

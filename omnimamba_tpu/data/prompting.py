@@ -114,8 +114,11 @@ class UniversalPrompting:
             temp = ids + [self._eos()]
             if max_seq_len >= len(temp):
                 lab = temp + [self.ignore_id] * (max_seq_len - len(temp))
-                mask = [1] * len(temp) + [0] * (max_seq_len - len(temp))
                 temp = temp + [self.pad_id] * (max_seq_len - len(temp))
+                # (sic) reference :193 computes the mask AFTER padding temp,
+                # so the [0]-suffix is empty and lm masks are all-ones
+                # (caught by tests/test_reference_differential.py)
+                mask = [1] * len(temp) + [0] * (max_seq_len - len(temp))
             else:
                 lab = temp[:max_seq_len]
                 temp = temp[:max_seq_len]

@@ -25,7 +25,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--images", type=int, default=48)
     p.add_argument("--cache-dtype", default="int8", choices=["auto", "int8"])
-    p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--iters", type=int, default=4)  # 2-sample means were jitter-prone (ADVICE r4)
     args = p.parse_args()
 
     import jax
@@ -59,6 +59,9 @@ def main():
     n = args.images
     rng = np.random.default_rng(0)
     cond = rng.integers(0, cfg.vocab_size, (n, 72))
+    # NOTE: the "uncond" half is n copies of the first conditional caption —
+    # placeholder content valid ONLY for throughput pricing (same shapes and
+    # dispatch as a real null prompt); outputs are meaningless for fidelity.
     ids = jnp.asarray(np.concatenate([cond, np.tile(cond[:1], (n, 1))]), jnp.int32)
 
     gen = jax.jit(

@@ -17,11 +17,15 @@ run() { name=$1; shift; echo "=== $name: $* ==="; timeout 2400 "$@" > /tmp/r4b_$
 
 run dec_b96_int8 python scripts/profile_train.py decode --batch 96 --tokens 256 --int8
 run dec_b96_int8_state python scripts/profile_train.py decode --batch 96 --tokens 256 --int8 --state-int8
-base=$(grep -o '[0-9]* tok/s' /tmp/r4b_dec_b96_int8.log | grep -o '[0-9]*')
-i8=$(grep -o '[0-9]* tok/s' /tmp/r4b_dec_b96_int8_state.log | grep -o '[0-9]*')
+# anchor to the DECODE line and take the first integer match only (ADVICE r4:
+# a second 'tok/s' line or non-integer format must not abort the gate)
+base=$(grep '^DECODE' /tmp/r4b_dec_b96_int8.log | grep -oE '[0-9]+ tok/s' | head -1 | grep -oE '[0-9]+')
+i8=$(grep '^DECODE' /tmp/r4b_dec_b96_int8_state.log | grep -oE '[0-9]+ tok/s' | head -1 | grep -oE '[0-9]+')
 echo "b96 decode: bf16-state=$base int8-state=$i8"
 if [ -n "$i8" ] && [ -n "$base" ] && [ "$i8" -gt "$base" ]; then
   run cfg_int8state python scripts/price_cfg_t2i.py --images 48 --cache-dtype int8
+else
+  echo "skipping cfg re-price: int8-state did not beat bf16-state (or parse failed: base='$base' i8='$i8')"
 fi
 run step_b8 python scripts/profile_train.py step --batch 8
 run step_b8_pnorm env OMNIMAMBA_PALLAS_NORM=1 python scripts/profile_train.py step --batch 8

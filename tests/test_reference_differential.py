@@ -1,0 +1,685 @@
+"""Differential tests against the ACTUAL reference code at /root/reference.
+
+VERDICT r4 "next round" #1: every prior "parity" test compared the repo
+against repo-written oracles or synthetic state-dict shapes; the reference
+implementation itself imports cleanly on the CPU torch in this image and was
+never executed. These tests run the reference modules side by side with the
+repo on identical inputs/weights:
+
+  (a) VQ-16 — torch ``VQ_16()`` (vq_model.py:418-423) with seeded weights ->
+      ``utils/convert.convert_vq`` -> JAX ``models/vq.py``; encode indices
+      exact, decode/decode_code <=2e-4 fp32, random images AND the in-repo
+      real photo ``mmu_validation/cat_dog.png``.
+  (b) samplers — reference generation.py:39-121 vs ``ops/sampling.py`` on
+      shared logits (filter masks + greedy argmax + reachable-token sets).
+  (c) LoRA — reference lora.py:185-279 ``Linear`` forward vs
+      ``mamba2._project_parts`` on converted weights, both tasks.
+  (d) projectors — nn_utils.py:12-128 vs ``apply_projector``, all 5 archs.
+  (e) prompt packers — ``UniversalPrompting`` t2i/t2i_gen/lm/mmu outputs and
+      ``MSCOCOFeatureDataset`` items byte-compared.
+  (f) conversation templates + MambaPromptBuilder — byte-identical prompts.
+  (g) PaddedCollatorForLanguageModeling — same padding/mask semantics.
+
+The reference tree is imported read-only (namespace packages; nothing in it
+executes at import except class definitions). Documented deliberate
+divergences are asserted as such rather than papered over.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not present"
+)
+
+torch = pytest.importorskip("torch")
+
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+# ---------------------------------------------------------------------------
+# (b) samplers — models/stage2/generation.py:39-121 vs ops/sampling.py
+# ---------------------------------------------------------------------------
+
+
+class TestSamplers:
+    @pytest.fixture(scope="class")
+    def ref_gen(self):
+        from models.stage2 import generation as ref_gen
+
+        return ref_gen
+
+    def _logits(self, b=5, v=64, seed=0):
+        rng = np.random.default_rng(seed)
+        return rng.normal(size=(b, v)).astype(np.float32) * 3.0
+
+    def test_top_k_filter(self, ref_gen):
+        from omnimamba_tpu.ops.sampling import apply_top_k
+
+        logits = self._logits()
+        for k in (1, 3, 17, 64):
+            ref = torch.tensor(logits.copy())
+            ref_gen.modify_logits_for_top_k_filtering(ref, k)
+            mine = np.asarray(apply_top_k(logits, k))
+            np.testing.assert_allclose(mine, t2n(ref), rtol=0, atol=0)
+
+    def test_top_p_filter(self, ref_gen):
+        from omnimamba_tpu.ops.sampling import apply_top_p
+
+        logits = self._logits(seed=1)
+        for p in (0.1, 0.5, 0.9, 0.99):
+            ref = torch.tensor(logits.copy())
+            ref_gen.modify_logits_for_top_p_filtering(ref, p)
+            mine = np.asarray(apply_top_p(logits, p))
+            # identical survivor sets; surviving logits untouched
+            np.testing.assert_array_equal(
+                np.isneginf(mine), np.isneginf(t2n(ref))
+            )
+            keep = ~np.isneginf(mine)
+            np.testing.assert_allclose(mine[keep], t2n(ref)[keep], atol=1e-6)
+
+    def test_repetition_penalty(self, ref_gen):
+        from omnimamba_tpu.ops.sampling import apply_repetition_penalty
+
+        logits = self._logits(seed=2)
+        prev = np.array([[1, 2, 3], [0, 0, 5], [9, 9, 9], [4, 8, 60], [7, 7, 1]])
+        for pen in (1.0, 1.2, 2.0):
+            ref = ref_gen.modify_logit_for_repetition_penalty(
+                torch.tensor(logits.copy()), torch.tensor(prev), pen
+            )
+            mine = np.asarray(
+                apply_repetition_penalty(logits, prev, pen)
+            )
+            np.testing.assert_allclose(mine, t2n(ref), rtol=1e-6, atol=1e-6)
+
+    def test_greedy_short_circuit(self, ref_gen):
+        from omnimamba_tpu.ops.sampling import SampleParams, sample_token
+
+        import jax
+
+        logits = self._logits(seed=3)
+        ref = ref_gen.sample(torch.tensor(logits.copy()), top_k=1)
+        mine = np.asarray(
+            sample_token(jax.random.PRNGKey(0), logits, SampleParams(top_k=1))
+        )
+        np.testing.assert_array_equal(mine, t2n(ref))
+
+    def test_topk_topp_temperature_support_set(self, ref_gen):
+        """top_k>1 + top_p + temperature: the reference draws from
+        (top-k -> /T -> top-p) survivors (generation.py:98-106). Compare the
+        exact reachable-token set by running the reference sampler many times
+        on a tiny vocab vs the support of my filtered distribution."""
+        import jax
+        import jax.numpy as jnp
+
+        from omnimamba_tpu.ops.sampling import apply_top_k, apply_top_p
+
+        rng = np.random.default_rng(4)
+        logits = rng.normal(size=(1, 8)).astype(np.float32) * 2.0
+        k, p, temp = 5, 0.7, 0.8
+        torch.manual_seed(0)
+        ref_draws = {
+            int(ref_gen.sample(torch.tensor(logits.copy()), top_k=k, top_p=p,
+                               temperature=temp)[0])
+            for _ in range(400)
+        }
+        f = apply_top_k(jnp.asarray(logits), k) / temp
+        f = apply_top_p(f, p)
+        support = set(np.nonzero(~np.isneginf(np.asarray(f)[0]))[0].tolist())
+        assert ref_draws <= support
+        # and with 400 draws over <=5 tokens every support member appears
+        assert support == ref_draws
+
+    def test_min_p_documented_divergence(self, ref_gen):
+        """DELIBERATE DIVERGENCE: the reference (upstream mamba_ssm lineage)
+        compares raw LOGITS against ``max_prob * min_p`` — a probability in
+        [0,1] against unnormalized logits (generation.py:39-44,108-112),
+        which masks (almost) nothing for logits > 1 and over-masks negative
+        logits. ``apply_min_p`` implements the intended semantics (compare
+        PROBS to the cutoff). This test pins the reference quirk so any
+        upstream change is noticed, and asserts my filter equals the correct
+        formulation."""
+        from omnimamba_tpu.ops.sampling import apply_min_p
+
+        logits = self._logits(b=2, v=16, seed=5)
+        min_p = 0.2
+        probs = torch.softmax(torch.tensor(logits), dim=-1)
+        min_prob = probs.max(dim=-1, keepdim=True)[0] * min_p
+        ref = torch.tensor(logits.copy())
+        ref_gen.modify_logits_for_min_p_filtering(ref, min_prob)
+        ref_masked = np.isneginf(t2n(ref))
+        quirk_expected = logits < t2n(min_prob)  # logits-vs-prob compare
+        np.testing.assert_array_equal(ref_masked, quirk_expected)
+
+        mine = np.asarray(apply_min_p(logits, min_p))
+        correct = (
+            t2n(probs) < t2n(probs.max(dim=-1, keepdim=True)[0]) * min_p
+        )
+        np.testing.assert_array_equal(np.isneginf(mine), correct)
+
+
+# ---------------------------------------------------------------------------
+# (c) LoRA — models/stage2/lora.py:185-279 vs mamba2._project_parts
+# ---------------------------------------------------------------------------
+
+
+class TestLoraDifferential:
+    def _setup(self):
+        from models.stage2.lora import Linear as RefLoraLinear
+
+        from omnimamba_tpu.config import LoraConfig, Mamba2LayerConfig
+
+        cfg = Mamba2LayerConfig(
+            d_model=32, d_state=16, headdim=8, expand=2, chunk_size=8
+        )
+        lcfg = LoraConfig()  # r=8, alpha=32, lora_nums=1 (lora.py:83-90)
+        torch.manual_seed(7)
+        ref = RefLoraLinear(
+            cfg.d_model, cfg.d_in_proj, r=lcfg.r, lora_alpha=lcfg.alpha,
+            lora_nums=lcfg.lora_nums, lora_dropout=0.0, bias=False,
+            merge_weights=False,
+        )
+        # B matrices are zero-init; randomize them so the adapters matter
+        with torch.no_grad():
+            for task in ("t2i", "mmu"):
+                getattr(ref, f"{task}_lora_B0").weight.normal_(std=0.05)
+        ref.eval()
+        return ref, cfg, lcfg
+
+    def _convert(self, ref, cfg, lcfg):
+        from omnimamba_tpu.utils.convert import _split_in_proj_rows
+
+        w = t2n(ref.weight)  # (d_in_proj, d_model)
+        in_proj = {
+            k: np.ascontiguousarray(v.T)
+            for k, v in _split_in_proj_rows(w, cfg).items()
+        }
+        lora = {}
+        for task in ("t2i", "mmu"):
+            A = t2n(getattr(ref, f"{task}_lora_A0").weight)  # (r, d)
+            B = t2n(getattr(ref, f"{task}_lora_B0").weight)  # (d_in_proj, r)
+            lora[f"{task}_A"] = A.T[None]
+            for part, rows in _split_in_proj_rows(B, cfg).items():
+                lora[f"{task}_B_{part}"] = np.ascontiguousarray(rows.T)[None]
+        return {"in_proj": in_proj, "lora": lora}
+
+    @pytest.mark.parametrize("task", ["t2i", "mmu"])
+    def test_forward_matches(self, task):
+        from omnimamba_tpu.models.mamba2 import _PARTS, _project_parts
+
+        ref, cfg, lcfg = self._setup()
+        params = self._convert(ref, cfg, lcfg)
+        rng = np.random.default_rng(8)
+        x = rng.normal(size=(2, 5, cfg.d_model)).astype(np.float32)
+
+        ref.task_types = task
+        with torch.no_grad():
+            want = t2n(ref(torch.tensor(x)))
+        parts = _project_parts(params, x, task, cfg, lcfg)
+        got = np.concatenate([np.asarray(parts[p]) for p in _PARTS], axis=-1)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_disable_adapters_matches_task_none(self):
+        from omnimamba_tpu.models.mamba2 import _PARTS, _project_parts
+
+        ref, cfg, lcfg = self._setup()
+        params = self._convert(ref, cfg, lcfg)
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(3, cfg.d_model)).astype(np.float32)
+        ref.disable_adapters = True
+        with torch.no_grad():
+            want = t2n(ref(torch.tensor(x)))
+        parts = _project_parts(params, x, None, cfg, lcfg)
+        got = np.concatenate([np.asarray(parts[p]) for p in _PARTS], axis=-1)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# (d) projectors — models/cobra/nn_utils.py vs models/projector.py
+# ---------------------------------------------------------------------------
+
+
+def _convert_seq_linears(seq) -> list:
+    """nn.Sequential -> [{'kernel','bias'}...] for each nn.Linear inside."""
+    out = []
+    for m in seq:
+        if isinstance(m, torch.nn.Linear):
+            out.append({"kernel": t2n(m.weight).T, "bias": t2n(m.bias)})
+    return out
+
+
+class TestProjectorDifferential:
+    V, D = 24, 40  # vision_dim, llm_dim
+
+    def _x(self, tokens=196):
+        rng = np.random.default_rng(11)
+        return rng.normal(size=(2, tokens, self.V)).astype(np.float32)
+
+    def _cmp(self, ref_mod, arch, params, tokens=196, tol=1e-5):
+        from omnimamba_tpu.models.projector import apply_projector
+
+        x = self._x(tokens)
+        ref_mod.eval()
+        with torch.no_grad():
+            want = t2n(ref_mod(torch.tensor(x)))
+        got = np.asarray(apply_projector(params, x, arch))
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+    def test_linear(self):
+        from models.cobra.nn_utils import LinearProjector
+
+        torch.manual_seed(1)
+        ref = LinearProjector(self.V, self.D)
+        (fc1,) = _convert_seq_linears([ref.projector])
+        self._cmp(ref, "linear", {"fc1": fc1})
+
+    def test_gelu_mlp(self):
+        from models.cobra.nn_utils import MLPProjector
+
+        torch.manual_seed(2)
+        ref = MLPProjector(self.V, self.D)
+        fc1, fc2 = _convert_seq_linears(ref.projector)
+        self._cmp(ref, "gelu-mlp", {"fc1": fc1, "fc2": fc2})
+
+    def test_fused_gelu_mlp(self):
+        from models.cobra.nn_utils import FusedMLPProjector
+
+        torch.manual_seed(3)
+        ref = FusedMLPProjector(self.V, self.D)
+        fc1, fc2, fc3 = _convert_seq_linears(ref.projector)
+        self._cmp(ref, "fused-gelu-mlp", {"fc1": fc1, "fc2": fc2, "fc3": fc3})
+
+    def _peg_params(self, peg_conv):
+        # torch depthwise (C,1,3,3) -> HWIO (3,3,1,C)
+        k = t2n(peg_conv.weight).transpose(2, 3, 1, 0)
+        return {"kernel": k, "bias": t2n(peg_conv.bias)}
+
+    @pytest.mark.parametrize("arch", ["ldpnet", "fused-ldpnet"])
+    def test_ldp(self, arch):
+        from models.cobra.nn_utils import FusedLDPProjector, LDPProjector
+
+        torch.manual_seed(4)
+        ref = (
+            LDPProjector(self.V, self.D)
+            if arch == "ldpnet"
+            else FusedLDPProjector(self.V, self.D)
+        )
+        fc1, fc2 = _convert_seq_linears(ref.projector)
+        peg = self._peg_params(ref.projector[-1].peg[0])
+        # 28x28 = 784 tokens -> TokenDown pools to 14x14 (integer factor 2,
+        # where AdaptiveAvgPool2d == mean-pool — the non-integer case is the
+        # ViT-dependent geometry covered by test_vit_parity fixtures)
+        self._cmp(ref, arch, {"fc1": fc1, "fc2": fc2, "peg": peg}, tokens=784)
+
+
+# ---------------------------------------------------------------------------
+# (e) prompt packers — models/cobra/prompting_utils.py + util/coco_dataset.py
+# ---------------------------------------------------------------------------
+
+
+def _mk_prompters(max_text_len=20, cond_dropout_prob=0.0):
+    from models.cobra.prompting_utils import UniversalPrompting as RefUP
+
+    from omnimamba_tpu.data.prompting import UniversalPrompting as MyUP
+    from omnimamba_tpu.data.tokenizer import OfflineTokenizer
+
+    specials = (
+        "<|soi|>", "<|eoi|>", "<|sot|>", "<|eot|>", "<|t2i|>",
+        "<|mmu|>", "<|soc|>", "<|eoc|>", "<|lvg|>",
+    )
+    ref = RefUP(
+        OfflineTokenizer(), special_tokens=specials,
+        max_text_len=max_text_len, ignore_id=-100,
+        cond_dropout_prob=cond_dropout_prob,
+    )
+    mine = MyUP(
+        OfflineTokenizer(), special_tokens=specials,
+        max_text_len=max_text_len, ignore_id=-100,
+        cond_dropout_prob=cond_dropout_prob,
+    )
+    for tok in specials:
+        assert int(ref.sptids_dict[tok]) == int(mine.sptids_dict[tok])
+    return ref, mine
+
+
+class TestPromptingDifferential:
+    def _text_ids(self, prompter, texts):
+        return [list(prompter.text_tokenizer(t)["input_ids"]) for t in texts]
+
+    TEXTS = [
+        "a cat on a mat",
+        "",  # empty -> bos injected
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen "
+        "twenty twentyone twentytwo",  # overflow -> truncate + eos
+    ]
+
+    def test_t2i_prompt(self):
+        ref, mine = _mk_prompters()
+        img = np.arange(2 * 3 * 8, dtype=np.int64)[: 3 * 8].reshape(3, 8) % 32
+        labels = img + 100
+        # text_ids lists are MUTATED by both packers (bos prepend in place,
+        # prompting_utils.py:47-51) — hand each side its own copy
+        r_ids, r_m, r_lab = ref.t2i_prompt(
+            self._text_ids(ref, self.TEXTS),
+            torch.tensor(img), torch.tensor(labels),
+        )
+        m_ids, m_m, m_lab = mine.t2i_prompt(
+            self._text_ids(mine, self.TEXTS), img, labels
+        )
+        np.testing.assert_array_equal(m_ids, t2n(r_ids))
+        np.testing.assert_array_equal(m_lab, t2n(r_lab))
+
+    def test_t2i_gen_prompt(self):
+        ref, mine = _mk_prompters()
+        img = np.zeros((3, 0), np.int64)  # gen prompt: no image tokens yet
+        r_ids, _ = ref.t2i_gen_prompt(
+            self._text_ids(ref, self.TEXTS), torch.tensor(img)
+        )
+        m_ids, _ = mine.t2i_gen_prompt(self._text_ids(mine, self.TEXTS), img)
+        np.testing.assert_array_equal(m_ids, t2n(r_ids))
+
+    def test_lm_prompt(self):
+        ref, mine = _mk_prompters()
+        max_seq = 12
+        r_ids, r_m, r_lab = ref.lm_prompt(self._text_ids(ref, self.TEXTS), max_seq)
+        m_ids, m_m, m_lab = mine.lm_prompt(self._text_ids(mine, self.TEXTS), max_seq)
+        np.testing.assert_array_equal(m_ids, t2n(r_ids))
+        np.testing.assert_array_equal(m_lab, t2n(r_lab))
+        np.testing.assert_array_equal(m_m, t2n(r_m))
+
+    def test_mmu_prompt(self):
+        ref, mine = _mk_prompters()
+        img = (np.arange(3 * 8).reshape(3, 8) * 7) % 32
+        r_ids, _, r_lab = ref.mmu_prompt(
+            torch.tensor(img), self._text_ids(ref, self.TEXTS)
+        )
+        m_ids, _, m_lab = mine.mmu_prompt(img, self._text_ids(mine, self.TEXTS))
+        np.testing.assert_array_equal(m_ids, t2n(r_ids))
+        np.testing.assert_array_equal(m_lab, t2n(r_lab))
+
+    def test_coco_dataset_items(self, tmp_path):
+        """util/coco_dataset.py:79-137 vs data/coco.py on the same JSONL —
+        single caption per row (random.randint(0,0) on both sides), dropout 0,
+        train AND eval arms."""
+        import json as _json
+
+        from util.coco_dataset import MSCOCOFeatureDataset as RefDS
+
+        from omnimamba_tpu.data.coco import MSCOCOFeatureDataset as MyDS
+
+        ref_up, my_up = _mk_prompters(max_text_len=67)
+        # reference hard-codes max_token_len=68 (coco_dataset.py:86) and the
+        # t2i block wrap; inject <|sot|>/<|eot|> ids exist on both sides
+        rows = []
+        rng = np.random.default_rng(12)
+        for i in range(4):
+            rows.append(
+                {
+                    "captions": [f"caption number {i} with a cat"],
+                    "tokens": rng.integers(0, 32, 16).tolist(),
+                }
+            )
+        path = tmp_path / "coco.jsonl"
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+        ref_ds = RefDS(str(path), ref_up)
+        my_ds = MyDS(str(path), my_up)
+        assert len(ref_ds) == len(my_ds)
+        # shuffle orders differ (different RNGs) — compare as multisets keyed
+        # by the caption block bytes
+        ref_items = {
+            tuple(t2n(ids).tolist()): t2n(toks).tolist()
+            for toks, ids in (ref_ds[i] for i in range(len(ref_ds)))
+        }
+        my_items = {
+            tuple(ids.tolist()): toks.tolist()
+            for toks, ids in (my_ds[i] for i in range(len(my_ds)))
+        }
+        assert ref_items == my_items
+
+        ref_ev = RefDS(str(path), ref_up, sample_num=4)
+        my_ev = MyDS(str(path), my_up, sample_num=4)
+        ref_eval = {tuple(t2n(ids).tolist()) for ids, _ in (ref_ev[i] for i in range(4))}
+        my_eval = {tuple(ids.tolist()) for ids, _ in (my_ev[i] for i in range(4))}
+        assert ref_eval == my_eval
+
+
+# ---------------------------------------------------------------------------
+# (f) conversation templates + prompt builder — byte-identical strings
+# ---------------------------------------------------------------------------
+
+
+class TestChatDifferential:
+    TURNS = [
+        ("human", "What is in this <image> photo?"),
+        ("gpt", "A cat and a dog."),
+        ("human", "What color is the cat?"),
+        ("gpt", ""),
+    ]
+
+    def test_mamba_prompt_builder(self):
+        from models.cobra.backbones.llm.prompting.mamba_prompter import (
+            MambaPromptBuilder as RefPB,
+        )
+
+        from omnimamba_tpu.data.prompt_builder import MambaPromptBuilder as MyPB
+
+        ref, mine = RefPB("mamba"), MyPB("mamba")
+        for role, msg in self.TURNS:
+            assert mine.add_turn(role, msg) == ref.add_turn(role, msg)
+        assert mine.get_prompt() == ref.get_prompt()
+        assert mine.get_potential_prompt("And the dog?") == ref.get_potential_prompt(
+            "And the dog?"
+        )
+
+    @pytest.mark.parametrize("name", ["phi1.5", "v1", "vicuna_v1", "plain"])
+    def test_conversation_templates(self, name):
+        from util.conversation import conv_templates as ref_templates
+
+        from omnimamba_tpu.data.conversation import conv_templates as my_templates
+
+        ref = ref_templates[name].copy()
+        mine = my_templates[name].copy()
+        assert mine.roles == tuple(ref.roles)
+        if name == "plain":
+            # conv_llava_plain has sep2=None on BOTH sides; a non-empty
+            # odd-index message raises in the reference too
+            # (util/conversation.py:96-102) — stay in the reachable domain
+            # (the llava pretrain pattern: one caption + empty reply slot)
+            msgs = [(ref.roles[0], "Hello there <image>"), (ref.roles[1], None)]
+        else:
+            msgs = [
+                (ref.roles[0], "Hello there <image>"),
+                (ref.roles[1], "General Kenobi."),
+                (ref.roles[0], "Describe the image."),
+                (ref.roles[1], None),
+            ]
+        for role, msg in msgs:
+            ref.append_message(role, msg)
+            mine.append_message(role, msg)
+        assert mine.get_prompt() == ref.get_prompt()
+
+
+# ---------------------------------------------------------------------------
+# (g) collator — models/cobra/data_utils.py:16-78 vs data/llava.py
+# ---------------------------------------------------------------------------
+
+
+class TestCollatorDifferential:
+    def test_padding_and_mask_semantics(self):
+        """The repo collator takes fixed-length rows (XLA static shapes) and
+        raw uint8 NHWC pixels; the reference pads ragged torch rows and uses
+        an index list. Equalize the input (pre-pad to the same length) and
+        assert ids/labels/attention agree and multimodal bookkeeping matches."""
+        from models.cobra.data_utils import IGNORE_INDEX
+        from models.cobra.data_utils import (
+            PaddedCollatorForLanguageModeling as RefColl,
+        )
+
+        from omnimamba_tpu.data.llava import (
+            PaddedCollatorForLanguageModeling as MyColl,
+        )
+
+        pad_id, max_len, s = 99, 10, 8
+        rng = np.random.default_rng(13)
+        raw = [
+            (rng.integers(0, 50, n).tolist(), i % 2 == 0)
+            for i, n in enumerate([4, 10, 7])
+        ]
+        ref_coll = RefColl(max_len, pad_id, (3, s, s))
+        ref_batch = ref_coll(
+            [
+                {
+                    "input_ids": torch.tensor(ids),
+                    "labels": torch.tensor(ids),
+                    "pixel_values": torch.ones(3, s, s) if has_img else None,
+                }
+                for ids, has_img in raw
+            ]
+        )
+        # repo side: rows arrive pre-padded to max_len by the dataset
+        def pad(ids, fill):
+            return np.asarray(ids + [fill] * (max_len - len(ids)), np.int64)
+
+        my_coll = MyColl(max_len, pad_id, image_size=s)
+        my_batch = my_coll(
+            [
+                {
+                    "input_ids": pad(ids, pad_id),
+                    "labels": pad(ids, IGNORE_INDEX),
+                    "pixel_values": np.ones((s, s, 3), np.uint8) if has_img else None,
+                }
+                for ids, has_img in raw
+            ]
+        )
+        np.testing.assert_array_equal(
+            my_batch["input_ids"], t2n(ref_batch["input_ids"])
+        )
+        np.testing.assert_array_equal(my_batch["labels"], t2n(ref_batch["labels"]))
+        np.testing.assert_array_equal(
+            my_batch["input_ids"] != pad_id, t2n(ref_batch["attention_mask"])
+        )
+        want_idx = t2n(ref_batch["multimodal_indices"]).tolist()
+        got_idx = np.nonzero(my_batch["multimodal_mask"])[0].tolist()
+        assert got_idx == want_idx
+
+
+# ---------------------------------------------------------------------------
+# (a) VQ-16 — llamagen_tokenizer/tokenizer_image/vq_model.py vs models/vq.py
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vq_pair():
+    """Seeded reference VQ-16 (torch, fp32, eval) + converted JAX params."""
+    from llamagen_tokenizer.tokenizer_image.vq_model import VQ_16
+
+    from omnimamba_tpu.config import VQConfig
+    from omnimamba_tpu.utils.convert import convert_vq
+
+    torch.manual_seed(0)
+    ref = VQ_16()
+    ref.eval()
+    cfg = VQConfig()
+    sd = {k: t2n(v) for k, v in ref.state_dict().items()}
+    params = convert_vq(sd, cfg)
+    return ref, params, cfg
+
+
+class TestVQDifferential:
+    def _img(self, n=1, size=96, seed=20):
+        rng = np.random.default_rng(seed)
+        return rng.uniform(-1, 1, (n, size, size, 3)).astype(np.float32)
+
+    def test_encode_indices_and_quant(self, vq_pair):
+        from omnimamba_tpu.models.vq import vq_encode
+
+        ref, params, cfg = vq_pair
+        img = self._img()
+        with torch.no_grad():
+            quant_t, _, info = ref.encode(torch.tensor(img.transpose(0, 3, 1, 2)))
+        out = vq_encode(params, img, cfg)
+        g = img.shape[1] // 16
+        ref_idx = t2n(info[2]).reshape(img.shape[0], g, g)
+        np.testing.assert_array_equal(np.asarray(out.indices), ref_idx)
+        np.testing.assert_allclose(
+            np.asarray(out.quant),
+            t2n(quant_t).transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=2e-4,
+        )
+
+    def test_decode_code(self, vq_pair):
+        from omnimamba_tpu.models.vq import vq_decode_code
+
+        ref, params, cfg = vq_pair
+        rng = np.random.default_rng(21)
+        g = 6
+        codes = rng.integers(0, cfg.codebook_size, (2, g * g))
+        with torch.no_grad():
+            want = ref.decode_code(
+                torch.tensor(codes), shape=(2, cfg.codebook_embed_dim, g, g)
+            )
+        got = np.asarray(vq_decode_code(params, codes, cfg))
+        np.testing.assert_allclose(
+            got, t2n(want).transpose(0, 2, 3, 1), rtol=1e-4, atol=2e-4
+        )
+
+    def test_roundtrip_real_image(self, vq_pair):
+        """cat_dog.png (the reference's own validation asset) through both
+        encode+decode paths."""
+        from PIL import Image
+
+        from omnimamba_tpu.models.vq import vq_decode, vq_encode
+
+        ref, params, cfg = vq_pair
+        img_path = os.path.join(REF, "mmu_validation", "cat_dog.png")
+        if not os.path.exists(img_path):
+            pytest.skip("cat_dog.png not present")
+        pil = Image.open(img_path).convert("RGB").resize((128, 128), Image.BICUBIC)
+        img = (np.asarray(pil, np.float32) / 127.5 - 1.0)[None]
+        with torch.no_grad():
+            quant_t, _, info = ref.encode(torch.tensor(img.transpose(0, 3, 1, 2)))
+            rec_t = ref.decode(quant_t)
+        out = vq_encode(params, img, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(out.indices).ravel(), t2n(info[2]).ravel()
+        )
+        rec = np.asarray(vq_decode(params, np.asarray(out.quant), cfg))
+        np.testing.assert_allclose(
+            rec, t2n(rec_t).transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-3
+        )
+
+    def test_forward_losses(self, vq_pair):
+        """forward() emb_loss tuple (vq, commit, entropy, usage) vs my
+        VQEncodeOutput losses (vq_model.py:56-60 + VectorQuantizer.forward)."""
+        from omnimamba_tpu.models.vq import vq_encode
+
+        ref, params, cfg = vq_pair
+        img = self._img(seed=22)
+        ref.train()  # losses are only computed under self.training (:248-251)
+        try:
+            with torch.no_grad():
+                _, emb_loss, _ = ref.encode(torch.tensor(img.transpose(0, 3, 1, 2)))
+        finally:
+            ref.eval()
+        out = vq_encode(params, img, cfg, training=True)
+        ref_vq, ref_commit = float(emb_loss[0]), float(emb_loss[1])
+        np.testing.assert_allclose(float(out.vq_loss), ref_vq, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(
+            float(out.commit_loss), ref_commit, rtol=1e-3, atol=1e-5
+        )
