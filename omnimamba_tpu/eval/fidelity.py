@@ -238,3 +238,89 @@ def logit_margin_report(
         "margins": np.stack(margins, 1),
         "argmax_agrees": np.stack(agrees, 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# VQ fidelity packs — recorded from the ACTUAL reference VQ model
+# ---------------------------------------------------------------------------
+
+
+class VQPack(NamedTuple):
+    """Reference-side VQ tokenizer outputs for one image.
+
+    Producer: ``scripts/record_reference_pack.py --vq`` runs the real
+    ``llamagen_tokenizer/tokenizer_image/vq_model.py`` (importable on the
+    CPU torch in this image) with deterministically seeded weights and
+    records encode indices + the reconstructed image. Consumer:
+    ``compare_vq_to_pack`` replays the same image through the JAX VQ built
+    from the SAME seeded weights via ``utils/convert.convert_vq``.
+
+    The image itself is not stored (derive it from ``image_path`` + the
+    recorded preprocessing); recon is fp16 to keep the checked-in pack
+    small."""
+
+    indices: np.ndarray  # (B, h, w) int32 encode token grid
+    recon: np.ndarray  # (B, H, W, 3) fp16 NHWC decoder output
+    image_path: str  # source image, relative to the reference root
+    size: int  # square resize applied before encoding
+    meta: Dict
+
+
+def save_vq_pack(path: str, pack: VQPack) -> None:
+    import json
+
+    np.savez_compressed(
+        path,
+        indices=pack.indices.astype(np.int32),
+        recon=pack.recon.astype(np.float16),
+        image_path=np.asarray(pack.image_path),
+        size=np.asarray(pack.size),
+        meta=np.asarray(json.dumps(pack.meta)),
+    )
+
+
+def load_vq_pack(path: str) -> VQPack:
+    import json
+
+    z = np.load(path)
+    return VQPack(
+        indices=z["indices"],
+        recon=z["recon"],
+        image_path=str(z["image_path"]),
+        size=int(z["size"]),
+        meta=json.loads(str(z["meta"])),
+    )
+
+
+def vq_pack_image(pack: VQPack, reference_root: str = "/root/reference") -> np.ndarray:
+    """Rebuild the pack's input image exactly as the producer did:
+    PIL RGB -> BICUBIC square resize -> [-1, 1] fp32 NHWC."""
+    import os
+
+    from PIL import Image
+
+    path = os.path.join(reference_root, pack.image_path)
+    pil = Image.open(path).convert("RGB").resize(
+        (pack.size, pack.size), Image.BICUBIC
+    )
+    return (np.asarray(pil, np.float32) / 127.5 - 1.0)[None]
+
+
+def compare_vq_to_pack(vq_params: Dict, vq_cfg, pack: VQPack, image: np.ndarray) -> Dict:
+    """Encode+decode ``image`` with the JAX VQ and diff against the pack."""
+    from omnimamba_tpu.models.vq import vq_decode, vq_encode
+
+    out = vq_encode(vq_params, jnp.asarray(image), vq_cfg)
+    idx = np.asarray(out.indices)
+    recon = np.asarray(vq_decode(vq_params, np.asarray(out.quant), vq_cfg))
+    idx_match = int((idx == pack.indices).sum())
+    recon_err = float(np.abs(recon - pack.recon.astype(np.float32)).max())
+    return {
+        "indices_match": idx_match == pack.indices.size,
+        "indices_agree": idx_match,
+        "indices_total": int(pack.indices.size),
+        "recon_max_err": recon_err,
+        # fp16 storage quantizes the pack's recon at ~5e-4 granularity on
+        # [-1,1]-scale values; 5e-3 leaves room for conv reassociation
+        "recon_close": recon_err < 5e-3,
+    }

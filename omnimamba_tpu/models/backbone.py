@@ -308,6 +308,13 @@ def backbone_forward(
             policy = jax.checkpoint_policies.save_only_these_names(
                 "in_proj_out", "ssd_out", "ssd_resid"
             )
+        elif remat == "proj_conv_ssd":
+            # proj_ssd + the conv+silu outputs (mamba2 "conv_out"): backward
+            # skips the conv-chain recompute as well — +~1.1 GB at 1.3B B=8
+            # (23 MB/layer), for setups with the HBM headroom
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "in_proj_out", "conv_out", "ssd_out", "ssd_resid"
+            )
         elif remat == "dots":
             policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)

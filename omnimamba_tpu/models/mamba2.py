@@ -262,11 +262,22 @@ def mamba2_forward(
     if initial_cache is not None:
         halo_x = initial_cache.conv_state[..., : cfg.d_inner]
         halo_bc = initial_cache.conv_state[..., cfg.d_inner :]
-    xs = causal_conv1d(
-        parts["x"], conv["weight_x"], conv["bias_x"], initial_state=halo_x
+    from jax.ad_checkpoint import checkpoint_name
+
+    # named so remat="proj_conv_ssd" can pin the conv+silu outputs: the
+    # backward then skips the conv-chain recompute too (~23 MB/layer at
+    # B=8 L=329 bf16; see backbone.backbone_forward policy table)
+    xs = checkpoint_name(
+        causal_conv1d(
+            parts["x"], conv["weight_x"], conv["bias_x"], initial_state=halo_x
+        ),
+        "conv_out",
     )
-    bc = causal_conv1d(
-        parts["bc"], conv["weight_bc"], conv["bias_bc"], initial_state=halo_bc
+    bc = checkpoint_name(
+        causal_conv1d(
+            parts["bc"], conv["weight_bc"], conv["bias_bc"], initial_state=halo_bc
+        ),
+        "conv_out",
     )
     Bm, Cm = _split_bc(bc, cfg)
     dt = _dt_activation(parts["dt"], params["dt_bias"], cfg)

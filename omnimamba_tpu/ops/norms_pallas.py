@@ -64,8 +64,12 @@ def _bwd_kernel(
 
 
 def _row_tile(rows: int, d: int) -> int:
-    # ~2 MB fp32 working blocks; rows padded to a multiple of 8 upstream
-    r = max(8, min(512, (2 * 1024 * 1024) // (4 * d) // 8 * 8))
+    # ~0.75 MB fp32 working blocks. The backward streams 5 row-blocks
+    # (y, g, dres, dx, dy), each double-buffered by the Pallas pipeline —
+    # at 2 MB blocks that is ~19.7 MB scoped VMEM, over the 16 MB limit
+    # (measured OOM at 1.3B B=8 L=329 train step, r5). 0.75 MB keeps the
+    # worst case ~7 MB with headroom for the (1, d) operands.
+    r = max(8, min(512, (3 * 1024 * 1024 // 4) // (4 * d) // 8 * 8))
     return min(r, rows)
 
 
