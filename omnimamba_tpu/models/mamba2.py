@@ -51,6 +51,11 @@ from omnimamba_tpu.ops.ssd_reference import ssd_scan_reference, ssd_step
 
 _PARTS = ("z", "x", "bc", "dt")
 
+# train-time x|bc|dt in_proj fusion experiment; see _project_parts
+import os as _os
+
+_FUSE_XBCDT = _os.environ.get("OMNIMAMBA_FUSE_INPROJ", "0") == "1"
+
 
 class Mamba2Cache(NamedTuple):
     """Per-layer recurrent decode state (constant memory, no KV cache).
@@ -176,9 +181,28 @@ def _project_parts(
         di, gn2 = cfg.d_inner, 2 * cfg.ngroups * cfg.d_state
         out = {
             "z": full[..., :di],
-            "x": full[..., di : 2 * di],
             "bc": full[..., 2 * di : 2 * di + gn2],
             "dt": full[..., 2 * di + gn2 :],
+            "x": full[..., di : 2 * di],
+        }
+    elif _FUSE_XBCDT and all(
+        not isinstance(ip[p], dict) for p in ("x", "bc", "dt")
+    ):
+        # train-time fusion experiment (OMNIMAMBA_FUSE_INPROJ=1): one
+        # (d, d_inner+2GN+H) matmul instead of three. MEASURED NEGATIVE on
+        # v5e-1 (r5): 430 ms / 26.7% MFU vs 345 / 33.3% proj_ssd baseline
+        # at 1.3B B=8 — the per-layer weight concat re-materializes in the
+        # backward and the fused operand defeats XLA's dgrad/wgrad fusion
+        # choices; the narrow bc/dt dots it removes were never the cost.
+        # Kept (default OFF) as the measured record.
+        di, gn2 = cfg.d_inner, 2 * cfg.ngroups * cfg.d_state
+        w = jnp.concatenate([ip["x"], ip["bc"], ip["dt"]], axis=-1)
+        full = matmul_any(x, w)
+        out = {
+            "z": matmul_any(x, ip["z"]),
+            "x": full[..., :di],
+            "bc": full[..., di : di + gn2],
+            "dt": full[..., di + gn2 :],
         }
     else:
         out = {part: matmul_any(x, ip[part]) for part in _PARTS}
@@ -273,11 +297,14 @@ def mamba2_forward(
         ),
         "conv_out",
     )
+    # bc keeps its own name OUT of the proj_conv_ssd policy: pinning it too
+    # was 38.8 MB over HBM at 1.3B B=8 (measured), and its recompute is one
+    # small (d, 2GN) conv
     bc = checkpoint_name(
         causal_conv1d(
             parts["bc"], conv["weight_bc"], conv["bias_bc"], initial_state=halo_bc
         ),
-        "conv_out",
+        "conv_bc_out",
     )
     Bm, Cm = _split_bc(bc, cfg)
     dt = _dt_activation(parts["dt"], params["dt_bias"], cfg)

@@ -274,6 +274,46 @@ def convert_vq(sd: Mapping[str, np.ndarray], cfg: VQConfig) -> Dict:
 # ---------------------------------------------------------------------------
 
 
+def resample_abs_pos_embed(pos: np.ndarray, new_grid: int) -> np.ndarray:
+    """timm ``resample_abs_pos_embed`` semantics: (1, g*g, d) patch-position
+    table -> (1, new_grid**2, d) via fp32 bicubic interpolation with
+    antialias, exactly as timm does when a model is created with an
+    ``img_size`` override (timm/layers/pos_embed.py — F.interpolate(
+    mode='bicubic', antialias=True)).
+
+    torch is used when importable (bit-identical to timm's own load path —
+    this code runs host-side on torch checkpoints anyway); the jax.image
+    fallback agrees to ~1e-3 on unit-scale tables (pinned in
+    tests/test_transforms.py::test_pos_embed_resample_matches_torch).
+    """
+    _, n, d = pos.shape
+    g = int(np.sqrt(n))
+    assert g * g == n, f"pos table is not square: {n}"
+    if g == new_grid:
+        return pos
+    grid = pos.reshape(1, g, g, d).astype(np.float32)
+    try:
+        import torch
+        import torch.nn.functional as F
+
+        out = F.interpolate(
+            torch.from_numpy(grid).permute(0, 3, 1, 2),
+            size=(new_grid, new_grid), mode="bicubic", antialias=True,
+        )
+        out = out.permute(0, 2, 3, 1).numpy()
+    except ImportError:  # zero-torch environments: jax.image cubic
+        import jax
+        import jax.numpy as jnp
+
+        out = np.asarray(
+            jax.image.resize(
+                jnp.asarray(grid), (1, new_grid, new_grid, d), "cubic",
+                antialias=True,
+            )
+        )
+    return out.reshape(1, new_grid * new_grid, d).astype(pos.dtype)
+
+
 def convert_timm_vit(sd: Mapping[str, np.ndarray], cfg: ViTConfig) -> Dict:
     """timm VisionTransformer state dict -> init_vit structure.
 
@@ -287,8 +327,20 @@ def convert_timm_vit(sd: Mapping[str, np.ndarray], cfg: ViTConfig) -> Dict:
         }
     }
     pos = sd["pos_embed"]
-    if pos.shape[1] == cfg.num_patches + 1:
-        pos = pos[:, 1:]  # drop cls position (embed_class layout)
+    n_prefix = 0
+    if pos.shape[1] != cfg.num_patches and int(np.sqrt(pos.shape[1])) ** 2 != pos.shape[1]:
+        n_prefix = 1  # embed_class layout: cls position leads (timm vit)
+    elif pos.shape[1] == cfg.num_patches + 1:
+        n_prefix = 1
+    if n_prefix:
+        pos = pos[:, n_prefix:]  # drop cls position (embed_class layout)
+    if pos.shape[1] != cfg.num_patches:
+        # checkpoint grid != runtime grid (e.g. DINOv2 pretrained at 518px =
+        # 37x37 patches, run at 384px = 27x27): timm resamples the table at
+        # load via resample_abs_pos_embed — F.interpolate(mode='bicubic',
+        # antialias=True) in fp32 (timm/layers/pos_embed.py). Reproduced
+        # here; pinned against torch in tests/test_transforms.py.
+        pos = resample_abs_pos_embed(pos, cfg.grid)
     p["pos_embed"] = pos
     if cfg.use_cls_token:
         p["cls_token"] = sd["cls_token"]
