@@ -116,6 +116,7 @@ class Record:
             "mmu_tok_per_sec_b48_int8": None,
             "mmu_tok_per_sec_best": None,
             "mmu_tok_per_sec_b1_int8": None,
+            "mmu_tok_per_sec_b1_int8_merged": None,
             "train_step_ms_b8": None,
             "train_mfu_pct": None,
             "mixed_step_ms": None,
@@ -386,6 +387,41 @@ def main():
         log(
             f"MMU decode single-stream int8: "
             f"{REC.extra['mmu_tok_per_sec_b1_int8']:.0f} tok/s"
+        )
+
+    @section("mmu_b1_int8_merged", est_cold_s=200)
+    def _mmu_b1_merged():
+        # single-task deployment config (serve --merge-lora-task): fold the
+        # mmu LoRA into in_proj BEFORE quantizing — removes 5 small
+        # matmuls/layer/step (+14% measured r4). B=1 is latency-dominated
+        # (scripts/b1_floor_analysis.py), so fewer dispatches is the lever.
+        from omnimamba_tpu.ops.quant import fuse_in_proj, quantize_decode_params
+        from omnimamba_tpu.utils.lora import merge_lora
+
+        if params is None:
+            return
+        mp = fuse_in_proj(
+            quantize_decode_params(merge_lora(params, "mmu", cfg.lora))
+        )
+        ids1 = ids[:1]
+        emb1 = embed_text(mp["mamba"], ids1, jnp.bfloat16)
+        # task="mmu" keeps the mmu positional embeddings; merge_lora popped
+        # the lora subtree so no adapter is applied on top of the fold
+        mmu1 = jax.jit(
+            lambda p, i, e: generate(
+                p, cfg, input_ids=i, input_embeddings=e, task="mmu",
+                max_length=L0 + T, sample=SampleParams(top_k=1),
+            ).sequences
+        )
+        out = mmu1(mp["mamba"], ids1, emb1)
+        sync(out)
+        t0 = time.time()
+        out = mmu1(mp["mamba"], ids1, emb1)
+        sync(out)
+        REC.extra["mmu_tok_per_sec_b1_int8_merged"] = T / (time.time() - t0)
+        log(
+            f"MMU decode single-stream int8 LoRA-merged: "
+            f"{REC.extra['mmu_tok_per_sec_b1_int8_merged']:.0f} tok/s"
         )
 
     def free_serving():
