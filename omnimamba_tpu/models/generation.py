@@ -174,7 +174,31 @@ def generate(
 
     def body_fn(s: _LoopState):
         key, sub = jax.random.split(s.key)
-        tok = sample_token(sub, s.logits, sample)  # (B,)
+        logits_s = s.logits
+        if sample.repetition_penalty != 1.0:
+            # reference decode applies the CTRL penalty over the WHOLE
+            # sequence so far (prompt + generated) before each sample
+            # (generation.py:246-252). Deliberate divergence, documented:
+            # the reference's penalty arm appends each sampled token to
+            # sequences_cat TWICE (:249+:250 both run), duplicating every
+            # token in its returned stream; the penalty SET is unaffected
+            # (duplicates don't change membership) so this engine matches
+            # its sampling behavior while returning the un-corrupted
+            # stream. Pinned by tests/test_reference_differential_engine.
+            from omnimamba_tpu.ops.sampling import apply_repetition_penalty
+
+            prev = jnp.concatenate([input_ids.astype(jnp.int32), s.tokens], axis=1)
+            if prompt_lengths is not None:
+                # ragged rows: right-pad tokens must not enter the penalty set
+                pmask = jnp.arange(L0)[None, :] < prompt_lengths[:, None]
+            else:
+                pmask = jnp.ones((1, L0), bool)
+            gmask = (jnp.arange(T_new)[None, :] < s.n) & jnp.ones((B, 1), bool)
+            mask = jnp.concatenate([pmask & jnp.ones((B, 1), bool), gmask], axis=1)
+            logits_s = apply_repetition_penalty(
+                logits_s, prev, sample.repetition_penalty, mask
+            )
+        tok = sample_token(sub, logits_s, sample)  # (B,)
         if cfg_scale is not None:
             # one draw per IMAGE: sample from the cond half's (mixed) logits
             # and feed the same token to both streams — independent per-row

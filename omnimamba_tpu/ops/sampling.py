@@ -77,12 +77,23 @@ def apply_repetition_penalty(
     if penalty == 1.0:
         return logits
     B, V = logits.shape
-    onehot = jax.nn.one_hot(prev_tokens, V, dtype=bool)  # (B,T,V)
-    if prev_mask is not None:
-        onehot = jnp.logical_and(onehot, prev_mask[..., None])
-    seen = jnp.any(onehot, axis=1)  # (B,V)
-    penalized = jnp.where(logits < 0, logits * penalty, logits / penalty)
-    return jnp.where(seen, penalized, logits)
+    logits = jnp.asarray(logits)
+    prev_tokens = jnp.asarray(prev_tokens, jnp.int32)
+    # scatter formulation — O(B*T) instead of a (B, T, V) one-hot, cheap
+    # enough to live inside the decode while_loop at serving vocab sizes.
+    # Every occurrence of a seen token writes the SAME penalized value
+    # (computed from the current logit), so duplicate indices are benign;
+    # masked (padding) entries write the min/max identity instead.
+    scores = jnp.take_along_axis(logits, prev_tokens, axis=1)  # (B, T)
+    pen = jnp.where(scores < 0, scores * penalty, scores / penalty)
+    rows = jnp.arange(B)[:, None]
+    if penalty >= 1.0:  # penalized <= original: combine with min
+        if prev_mask is not None:
+            pen = jnp.where(prev_mask, pen, jnp.inf)
+        return logits.at[rows, prev_tokens].min(pen)
+    if prev_mask is not None:  # amplification: penalized >= original
+        pen = jnp.where(prev_mask, pen, -jnp.inf)
+    return logits.at[rows, prev_tokens].max(pen)
 
 
 def sample_token(

@@ -38,6 +38,7 @@ def test_headline_emits_parseable_json_with_extras(monkeypatch, capsys):
         "mmu_tok_per_sec_b48_int8",
         "mmu_tok_per_sec_best",
         "mmu_tok_per_sec_b1_int8",
+        "mmu_tok_per_sec_b1_int8_merged",
         "train_step_ms_b8",
         "train_mfu_pct",
         "mixed_step_ms",
