@@ -305,6 +305,7 @@ class OmniMambaService:
         from omnimamba_tpu.data.conversation import conv_templates
         from omnimamba_tpu.data.transforms import dinosiglip_transform
         from omnimamba_tpu.models.omnimamba import mmu_generate
+        from omnimamba_tpu.ops.sampling import SampleParams
 
         sp = self.model.sptids
         eos = int(self.uni.text_tokenizer.eos_token_id)
@@ -344,13 +345,25 @@ class OmniMambaService:
         pix = dinosiglip_transform(jnp.asarray(np.stack(raws)), self.model.vision_cfg)
         feats = self._features_fn()(self.params, pix)
         total = ids_arr.shape[1] + feats.shape[1]
-        jkey = ("mmu", max_len, int(total))
+        # CTRL repetition penalty (reference generate kwarg), batch-level
+        # like the t2i sampler knobs; snapped to a 0.05 lattice in [1, 2]
+        # so the jit key space stays finite
+        pen = payloads[0].get("repetition_penalty", 1.0)
+        try:
+            pen = float(pen)
+        except (TypeError, ValueError):
+            pen = 1.0
+        if pen != pen:  # NaN
+            pen = 1.0
+        pen = round(min(max(pen, 1.0), 2.0) * 20) / 20
+        jkey = ("mmu", max_len, int(total), pen)
         if jkey not in self._jit:
             max_length = total + self.mmu_max_new
+            sp_sample = SampleParams(top_k=1, repetition_penalty=pen)
             self._jit[jkey] = jax.jit(
                 lambda p, ids, f, lens: mmu_generate(
                     p, self.model, ids, f, max_length=max_length,
-                    eos_token_id=eos, dtype=self.dtype,
+                    eos_token_id=eos, dtype=self.dtype, sample=sp_sample,
                     cache_dtype=self.cache_dtype, text_lengths=lens,
                 )
             )

@@ -36,6 +36,9 @@ def main():
         "(prompt-lookup drafting — no draft model, zero-cost floor)",
     )
     parser.add_argument("--k-draft", type=int, default=8)
+    parser.add_argument("--repetition-penalty", type=float, default=1.0,
+                        help="CTRL penalty over prompt+generated tokens "
+                             "(reference generate kwarg; 1.0 = off)")
     args = parser.parse_args()
 
     import jax
@@ -112,7 +115,7 @@ def main():
             jnp.asarray(input_ids),
             feats,
             max_length=args.max_length,
-            sample=SampleParams(top_k=1),
+            sample=SampleParams(top_k=1, repetition_penalty=args.repetition_penalty),
             eos_token_id=eos,
             **spec_kw,
         )

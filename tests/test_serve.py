@@ -375,3 +375,22 @@ def test_temperature_nan_rejected():
         assert "image_png_b64" in out[0]
     temps = {k[-1] for k in service._jit if isinstance(k, tuple) and k[0] == "t2i"}
     assert temps == {1.0}
+
+
+def test_mmu_repetition_penalty_request(server):
+    """repetition_penalty rides the mmu payload (snapped to the 0.05
+    lattice); the request must serve and the knob must be able to change
+    the stream vs the plain request."""
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.random.default_rng(3).random((28, 28, 3)) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    img = base64.b64encode(buf.getvalue()).decode()
+    q = {"image_png_b64": img, "question": "describe please"}
+    plain = _post(server + "/v1/mmu", q)
+    pen = _post(server + "/v1/mmu", {**q, "repetition_penalty": 1.8})
+    nan_pen = _post(server + "/v1/mmu", {**q, "repetition_penalty": "nope"})
+    assert "text" in plain and "text" in pen
+    assert nan_pen["text"] == plain["text"]  # junk penalty -> 1.0 lattice
