@@ -683,3 +683,39 @@ class TestVQDifferential:
         np.testing.assert_allclose(
             float(out.commit_loss), ref_commit, rtol=1e-3, atol=1e-5
         )
+
+
+class TestVQ8Differential:
+    """VQ-8 (4-level ch_mult (1,2,2,4), 8x downsample — vq_model.py:418-419):
+    covers the other registry geometry's level/downsample/upsample wiring in
+    encoder/decoder + converter, which VQ-16 (5 levels) does not."""
+
+    def test_encode_decode_roundtrip(self):
+        from llamagen_tokenizer.tokenizer_image.vq_model import VQ_8
+
+        from omnimamba_tpu.config import VQConfig
+        from omnimamba_tpu.models.vq import vq_decode, vq_encode
+        from omnimamba_tpu.utils.convert import convert_vq
+
+        torch.manual_seed(1)
+        ref = VQ_8()
+        ref.eval()
+        cfg = VQConfig(encoder_ch_mult=(1, 2, 2, 4), decoder_ch_mult=(1, 2, 2, 4))
+        params = convert_vq(
+            {k: t2n(v) for k, v in ref.state_dict().items()}, cfg
+        )
+        rng = np.random.default_rng(30)
+        img = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+        with torch.no_grad():
+            quant_t, _, info = ref.encode(torch.tensor(img.transpose(0, 3, 1, 2)))
+            rec_t = ref.decode(quant_t)
+        out = vq_encode(params, img, cfg)
+        g = 32 // cfg.downsample_factor
+        assert cfg.downsample_factor == 8
+        np.testing.assert_array_equal(
+            np.asarray(out.indices), t2n(info[2]).reshape(1, g, g)
+        )
+        rec = np.asarray(vq_decode(params, np.asarray(out.quant), cfg))
+        np.testing.assert_allclose(
+            rec, t2n(rec_t).transpose(0, 2, 3, 1), rtol=1e-4, atol=2e-4
+        )
