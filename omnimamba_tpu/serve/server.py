@@ -381,6 +381,42 @@ class OmniMambaService:
         return out
 
 
+    def mmu_build_embedding(self, payload: Dict):
+        """Shared mmu request prep: raw PNG -> dual-ViT features -> spliced
+        (L, d) embedding row + its true length (single request, no padding).
+        Used by the continuous-batching lane."""
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from omnimamba_tpu.data.conversation import conv_templates
+        from omnimamba_tpu.data.transforms import dinosiglip_transform
+        from omnimamba_tpu.models.backbone import embed_text
+
+        sp = self.model.sptids
+        img = Image.open(
+            io.BytesIO(base64.b64decode(payload["image_png_b64"]))
+        ).convert("RGB")
+        side = self.model.vision_cfg.dino.img_size
+        raw = np.asarray(img.resize((side, side)), np.uint8)[None]
+        conv = conv_templates["phi1.5"].copy()
+        conv.append_message(
+            conv.roles[0], payload.get("question", "Describe the image.")
+        )
+        conv.append_message(conv.roles[1], None)
+        ids = list(self.uni.text_tokenizer(conv.get_prompt().strip())["input_ids"])
+        ids = [sp["<|mmu|>"], sp["<|soi|>"], sp["<|eoi|>"], sp["<|sot|>"]] + ids
+
+        pix = dinosiglip_transform(jnp.asarray(raw), self.model.vision_cfg)
+        feats = self._features_fn()(self.params, pix)  # (1, 729, d)
+        text_emb = embed_text(
+            self.params["mamba"], jnp.asarray(np.asarray(ids, np.int32)[None]),
+            self.dtype,
+        )
+        emb = jnp.concatenate(
+            [text_emb[:, :2], feats.astype(self.dtype), text_emb[:, 2:]], axis=1
+        )
+        return np.asarray(emb[0], np.float32), emb.shape[1]
+
     # --- mmu low-latency speculative lane ----------------------------------
     def mmu_single_fn(self, payloads: List[Dict]) -> List[Dict]:
         self._require_task("mmu")
@@ -438,22 +474,87 @@ class OmniMambaService:
         }]
 
 
+class ContinuousMMULane(threading.Thread):
+    """Continuous-batching mmu lane: a SlotEngine (serve/continuous.py) on
+    its own thread; HTTP handlers submit (emb, len) and wait on the request
+    event. Requests ADMIT mid-flight — no waiting for batchmates' full
+    decodes. Measured parity with the static batcher on its best-case
+    burst workload and per-request (not per-batch) completion under
+    streaming arrivals — see serve/continuous.py for numbers."""
+
+    def __init__(self, service: "OmniMambaService", n_slots: int, chunk: int,
+                 max_new: int):
+        super().__init__(daemon=True, name="mmu-continuous")
+        from omnimamba_tpu.serve.continuous import SlotEngine
+
+        self.service = service
+        eos = int(service.uni.text_tokenizer.eos_token_id)
+        self.eos = eos
+        self.engine = SlotEngine(
+            service.params["mamba"], service.model.cfg, n_slots=n_slots, chunk=chunk,
+            task="mmu", dtype=service.dtype, eos_token_id=eos,
+            max_new_default=max_new,
+        )
+        # AOT-compile every program this lane can hit before taking traffic
+        # (mmu prompts land near 729 vision tokens + short text; warm the
+        # surrounding buckets so first requests don't pay cold compiles)
+        b = self.engine.bucket
+        self.engine.warmup([729 + b * k for k in range(1, 4)])
+        self._stop_evt = threading.Event()
+        self._work = threading.Event()
+
+    def submit(self, payload: Dict, timeout: float = 300.0) -> Dict:
+        emb, plen = self.service.mmu_build_embedding(payload)
+        req = self.engine.submit(emb, plen)
+        self._work.set()
+        if not req.done.wait(timeout):
+            raise TimeoutError("continuous lane timeout")
+        toks = req.tokens
+        if toks and toks[-1] == self.eos:
+            toks = toks[:-1]
+        return {
+            "text": self.service.uni.text_tokenizer.decode(
+                toks, skip_special_tokens=True
+            ),
+            "lane": "continuous",
+        }
+
+    def stop(self):
+        self._stop_evt.set()
+        self._work.set()
+
+    def run(self):
+        while not self._stop_evt.is_set():
+            if self.engine.tick() == 0:
+                self._work.clear()
+                self._work.wait(timeout=0.05)
+
+
 def make_server(
     service: OmniMambaService,
     host: str = "0.0.0.0",
     port: int = 8000,
     max_wait_ms: float = 20.0,
     speculative_lane: bool = True,
+    continuous_mmu: bool = False,
+    continuous_slots: int = 8,
+    continuous_chunk: int = 16,
 ) -> ThreadingHTTPServer:
     t2i_batcher = _Batcher("t2i", service.t2i_batch_fn, service.t2i_batch, max_wait_ms)
     mmu_batcher = _Batcher("mmu", service.mmu_batch_fn, service.mmu_batch, max_wait_ms)
     t2i_batcher.start()
     mmu_batcher.start()
     spec_lane = None
-    if speculative_lane:
+    if speculative_lane and not continuous_mmu:
         # dedicated single-stream lane: max_batch=1, no batching wait
         spec_lane = _Batcher("mmu-spec", service.mmu_single_fn, 1, 0.0)
         spec_lane.start()
+    cont_lane = None
+    if continuous_mmu:
+        cont_lane = ContinuousMMULane(
+            service, continuous_slots, continuous_chunk, service.mmu_max_new
+        )
+        cont_lane.start()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -485,8 +586,13 @@ def make_server(
                     # fall back to the batcher so worst-case latency stays
                     # bounded by the batch path. submit_if_idle is atomic:
                     # concurrent low-latency requests cannot both claim it.
+                    # With the continuous lane enabled, ALL mmu requests ride
+                    # it (admission is mid-flight; there is nothing to wait
+                    # for) — the static batcher stays as code-path fallback.
                     result = None
-                    if spec_lane is not None and payload.get("low_latency", False):
+                    if cont_lane is not None:
+                        result = cont_lane.submit(payload)
+                    if result is None and spec_lane is not None and payload.get("low_latency", False):
                         result = spec_lane.submit_if_idle(payload)
                     if result is None:
                         result = mmu_batcher.submit(payload)
@@ -507,10 +613,10 @@ def make_server(
         running poll their queues forever and were observed corrupting later
         tests in the same process (r4 VERDICT weak #4 — a segfault in
         test_trainer_loop with serve batcher threads alive in the dump)."""
-        for b in (t2i_batcher, mmu_batcher, spec_lane):
+        for b in (t2i_batcher, mmu_batcher, spec_lane, cont_lane):
             if b is not None:
                 b.stop()
-        for b in (t2i_batcher, mmu_batcher, spec_lane):
+        for b in (t2i_batcher, mmu_batcher, spec_lane, cont_lane):
             if b is not None:
                 b.join(timeout=join_timeout)
 

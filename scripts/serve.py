@@ -40,6 +40,16 @@ def main():
                         help="carry decode SSM state as scaled int8 (halves "
                              "bf16-state traffic again; error is decay-"
                              "contracted — audit fidelity per model)")
+    parser.add_argument("--continuous", action="store_true",
+                        help="continuous-batching mmu lane: requests join a "
+                             "fixed slot pool mid-flight (serve/continuous.py)"
+                             " — batch throughput at near-solo latency for "
+                             "mixed-length traffic")
+    parser.add_argument("--slots", type=int, default=8,
+                        help="continuous lane slot count")
+    parser.add_argument("--chunk", type=int, default=16,
+                        help="decode steps per host tick in the continuous "
+                             "lane (amortizes the ~30 ms tunnel sync)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -90,9 +100,15 @@ def main():
                      else jnp2.bfloat16 if args.bf16_state else "auto"),
         merge_lora_task=args.merge_lora_task,
     )
-    server = make_server(service, args.host, args.port, args.max_wait_ms)
+    server = make_server(
+        service, args.host, args.port, args.max_wait_ms,
+        continuous_mmu=args.continuous, continuous_slots=args.slots,
+        continuous_chunk=args.chunk,
+    )
+    lane = (f"continuous mmu: {args.slots} slots x {args.chunk}-step chunks"
+            if args.continuous else f"mmu batch {args.mmu_batch}")
     print(f"[serve] listening on {args.host}:{args.port} "
-          f"(t2i batch {args.t2i_batch}, mmu batch {args.mmu_batch})")
+          f"(t2i batch {args.t2i_batch}, {lane})")
     server.serve_forever()
 
 

@@ -1,0 +1,190 @@
+"""Continuous-batching slot engine: every request's stream must be
+bit-identical to its solo ``generate()`` greedy stream, including requests
+admitted MID-FLIGHT into a pool that is already decoding others (the whole
+point of the engine — admission must not perturb in-flight slots)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnimamba_tpu.models.backbone import embed_text, init_backbone
+from omnimamba_tpu.models.generation import generate
+from omnimamba_tpu.ops.sampling import SampleParams
+from omnimamba_tpu.serve.continuous import SlotEngine
+from tests.test_backbone import tiny_config
+
+
+def _solo_stream(params, cfg, ids, max_new):
+    emb = embed_text(params, ids[None], jnp.float32)
+    out = generate(
+        params, cfg, input_ids=jnp.asarray(ids[None]), input_embeddings=emb,
+        task="mmu", max_length=len(ids) + max_new,
+        sample=SampleParams(top_k=1), scan_impl="chunked", cache_dtype=None,
+    )
+    return np.asarray(out.sequences)[0, len(ids):].tolist()
+
+
+def _mk():
+    cfg = tiny_config()
+    params = init_backbone(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, n).astype(np.int32)
+        for n in (5, 9, 17, 3, 12)
+    ]
+    return cfg, params, prompts
+
+
+def test_streams_match_solo_generate():
+    cfg, params, prompts = _mk()
+    eng = SlotEngine(
+        params, cfg, n_slots=3, chunk=4, task="mmu", dtype=jnp.float32,
+        prefill_bucket=8, max_new_default=11, scan_impl="chunked",
+    )
+    reqs = []
+    for p in prompts:
+        emb = np.asarray(embed_text(params, jnp.asarray(p[None]), jnp.float32))[0]
+        reqs.append(eng.submit(emb, len(p), max_new=11))
+    eng.run_until_drained()
+    for p, r in zip(prompts, reqs):
+        assert r.done.is_set()
+        want = _solo_stream(params, cfg, p, 11)
+        assert r.tokens == want, (r.tokens, want)
+
+
+def test_midflight_admission_does_not_perturb():
+    """Admit a second request while the first is mid-decode: the first
+    request's remaining tokens must be unchanged vs its solo stream."""
+    cfg, params, prompts = _mk()
+    eng = SlotEngine(
+        params, cfg, n_slots=2, chunk=3, task="mmu", dtype=jnp.float32,
+        prefill_bucket=8, max_new_default=13, scan_impl="chunked",
+    )
+    emb0 = np.asarray(embed_text(params, jnp.asarray(prompts[0][None]), jnp.float32))[0]
+    r0 = eng.submit(emb0, len(prompts[0]), max_new=13)
+    eng.tick()  # r0 admitted + 3 tokens decoded
+    assert not r0.done.is_set()
+    emb1 = np.asarray(embed_text(params, jnp.asarray(prompts[1][None]), jnp.float32))[0]
+    r1 = eng.submit(emb1, len(prompts[1]), max_new=13)
+    eng.run_until_drained()
+    assert r0.tokens == _solo_stream(params, cfg, prompts[0], 13)
+    assert r1.tokens == _solo_stream(params, cfg, prompts[1], 13)
+
+
+def test_batched_admission_same_bucket_matches_solo():
+    """Four requests whose prompts all land in the SAME length bucket admit
+    together as one (M=4, Lb) prefill group + one scatter insert; every
+    stream must still match its solo decode (padding rows and grouped
+    scatter must not perturb numerics)."""
+    cfg = tiny_config()
+    params = init_backbone(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(11)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, n).astype(np.int32) for n in (5, 3, 7, 2)
+    ]
+    eng = SlotEngine(
+        params, cfg, n_slots=4, chunk=4, task="mmu", dtype=jnp.float32,
+        prefill_bucket=8, max_new_default=9, scan_impl="chunked",
+    )
+    reqs = []
+    for p in prompts:
+        emb = np.asarray(embed_text(params, jnp.asarray(p[None]), jnp.float32))[0]
+        reqs.append(eng.submit(emb, len(p), max_new=9))
+    eng.run_until_drained()
+    assert ("prefill", 8, 4) in eng._jit  # the group really was batched
+    for p, r in zip(prompts, reqs):
+        assert r.tokens == _solo_stream(params, cfg, p, 9)
+
+
+def test_eos_frees_slot_and_truncates():
+    """A forced-eos vocabulary row: when eos appears the slot frees and the
+    stream is truncated at (and including) eos."""
+    cfg, params, prompts = _mk()
+    # find the eos the model actually emits: run solo and take token 2
+    want = _solo_stream(params, cfg, prompts[0], 9)
+    eos = want[2]
+    eng = SlotEngine(
+        params, cfg, n_slots=2, chunk=4, task="mmu", dtype=jnp.float32,
+        prefill_bucket=8, eos_token_id=eos, scan_impl="chunked",
+    )
+    emb = np.asarray(embed_text(params, jnp.asarray(prompts[0][None]), jnp.float32))[0]
+    r = eng.submit(emb, len(prompts[0]), max_new=9)
+    eng.run_until_drained()
+    assert r.tokens == want[:3]
+    assert r.tokens[-1] == eos
+    assert not eng._active.any()
+
+
+def test_http_continuous_lane_matches_static_batcher():
+    """Full-stack: make_server(continuous_mmu=True) answers /v1/mmu through
+    the slot engine, tagged lane=continuous, with text equal to the static
+    batcher's greedy answer for the same request."""
+    import base64
+    import io as _io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from omnimamba_tpu.data.prompting import UniversalPrompting
+    from omnimamba_tpu.data.tokenizer import OfflineTokenizer
+    from omnimamba_tpu.models.omnimamba import init_omnimamba
+    from omnimamba_tpu.serve.server import OmniMambaService, make_server
+    from tests.test_omnimamba import tiny_model
+
+    model = tiny_model()
+    params = init_omnimamba(jax.random.PRNGKey(0), model)
+    uni = UniversalPrompting(OfflineTokenizer(base_vocab=49))
+    model = model._replace(
+        sptids={k: v % model.cfg.vocab_size for k, v in uni.sptids_dict.items()}
+    )
+    service = OmniMambaService(
+        model, params, uni, t2i_batch=2, mmu_batch=2, mmu_max_new=6,
+        dtype=jnp.float32, cache_dtype=None,
+    )
+
+    def post(url, obj):
+        req = urllib.request.Request(
+            url, data=_json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return _json.loads(r.read())
+
+    buf = _io.BytesIO()
+    Image.fromarray(
+        (np.random.default_rng(5).random((28, 28, 3)) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    q = {"image_png_b64": base64.b64encode(buf.getvalue()).decode(),
+         "question": "what is it"}
+
+    # static batcher answer
+    srv_a = make_server(service, host="127.0.0.1", port=0)
+    ta = threading.Thread(target=srv_a.serve_forever, daemon=True)
+    ta.start()
+    base_a = f"http://127.0.0.1:{srv_a.server_address[1]}"
+    static = post(base_a + "/v1/mmu", q)
+    srv_a.shutdown(); srv_a.server_close(); srv_a.stop_batchers(); ta.join(5)
+
+    # continuous lane answer — two concurrent requests to exercise admission
+    srv_b = make_server(
+        service, host="127.0.0.1", port=0,
+        continuous_mmu=True, continuous_slots=2, continuous_chunk=3,
+    )
+    tb = threading.Thread(target=srv_b.serve_forever, daemon=True)
+    tb.start()
+    base_b = f"http://127.0.0.1:{srv_b.server_address[1]}"
+    results = [None, None]
+
+    def call(i):
+        results[i] = post(base_b + "/v1/mmu", q)
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join(timeout=300) for t in ts]
+    srv_b.shutdown(); srv_b.server_close(); srv_b.stop_batchers(); tb.join(5)
+
+    for res in results:
+        assert res["lane"] == "continuous"
+        assert res["text"] == static["text"]
