@@ -121,6 +121,8 @@ class Record:
             "train_mfu_pct": None,
             "mixed_step_ms": None,
             "mixed_mfu_pct": None,
+            "continuous_stream_tok_per_sec": None,
+            "continuous_stream_p50_ms": None,
         }
 
     def emit(self):
@@ -550,6 +552,78 @@ def main():
             f"stage-2 mixed step (t2i B={Bm} + mmu 1182tok): "
             f"{REC.extra['mixed_step_ms']:.0f} ms  "
             f"MFU {REC.extra['mixed_mfu_pct']:.1f}%"
+        )
+
+    # continuous-batching serving lane, LAST so it can never starve the
+    # train/mixed metrics (mixed freed the serving params — re-provision).
+    # est fits the post-mixed budget (measured 479s left); this is the LAST
+    # section, so a cold-cache overrun delays nothing downstream and every
+    # earlier metric is already emitted.
+    @section("continuous_stream", est_cold_s=460)
+    def _continuous():
+        # streaming-arrival serving through the slot engine
+        # (serve/continuous.py): 32 requests at 100 ms inter-arrival,
+        # mixed 32..256-token budgets — the full static-vs-continuous A/B
+        # lives in scripts/bench_continuous.py (measured p50 1.9-2.1x
+        # better than the static batcher; burst parity).
+        import threading as _th
+
+        from omnimamba_tpu.ops.quant import fuse_in_proj, quantize_decode_params
+        from omnimamba_tpu.serve.continuous import SlotEngine
+
+        cp = fuse_in_proj(quantize_decode_params(
+            {"mamba": init_backbone(jax.random.PRNGKey(0), cfg,
+                                    dtype=jnp.bfloat16)}
+        ))["mamba"]
+        W, K, L0s, Nr = 16, 16, 64, 32
+        rngc = np.random.default_rng(3)
+        budgets = rngc.choice([32, 64, 128, 256], size=Nr).astype(int)
+        prompts = rngc.integers(0, cfg.vocab_size, (Nr, L0s)).astype(np.int32)
+        arrivals = np.arange(Nr) * 0.1
+        eng = SlotEngine(
+            cp, cfg, n_slots=W, chunk=K, task="mmu", dtype=jnp.bfloat16,
+            prefill_bucket=L0s, max_new_default=256,
+            state_dtype=jnp.bfloat16,
+        )
+        eng.warmup([L0s])
+        embs = [
+            np.asarray(embed_text(cp, jnp.asarray(prompts[i : i + 1]),
+                                  jnp.bfloat16), np.float32)[0]
+            for i in range(Nr)
+        ]
+        reqs = [None] * Nr
+        t_start = time.time()
+
+        def feeder():
+            for i in range(Nr):
+                dt_ = t_start + arrivals[i] - time.time()
+                if dt_ > 0:
+                    time.sleep(dt_)
+                reqs[i] = eng.submit(embs[i], L0s, max_new=int(budgets[i]))
+
+        ft = _th.Thread(target=feeder)
+        ft.start()
+        done_at = np.zeros(Nr)
+        pending = set(range(Nr))
+        while pending:
+            if eng.tick() == 0:
+                time.sleep(0.002)
+            now = time.time() - t_start
+            for i in list(pending):
+                if reqs[i] is not None and reqs[i].done.is_set():
+                    done_at[i] = now - arrivals[i]
+                    pending.discard(i)
+        ft.join()
+        wall = time.time() - t_start
+        n_tok = sum(len(r.tokens) for r in reqs)
+        REC.extra["continuous_stream_tok_per_sec"] = n_tok / wall
+        REC.extra["continuous_stream_p50_ms"] = (
+            float(np.percentile(done_at, 50)) * 1e3
+        )
+        log(
+            f"continuous serving (W={W}, 100ms arrivals): "
+            f"{n_tok/wall:.0f} useful tok/s, p50 request latency "
+            f"{REC.extra['continuous_stream_p50_ms']:.0f} ms"
         )
 
     log(f"[bench] finished with {remaining():.0f}s budget left")

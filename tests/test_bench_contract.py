@@ -43,6 +43,8 @@ def test_headline_emits_parseable_json_with_extras(monkeypatch, capsys):
         "train_mfu_pct",
         "mixed_step_ms",
         "mixed_mfu_pct",
+        "continuous_stream_tok_per_sec",
+        "continuous_stream_p50_ms",
     }
     # unmeasured sections stay null, never crash the emit
     assert rec["extra"]["train_step_ms_b8"] is None
