@@ -21,11 +21,17 @@ TPU: admitting a request mid-flight is ONE row-write into the (n_layer, B,
   inside the jitted chunk amortizes the sync K ways; admission latency is
   bounded by one chunk (~K * step-time).
 
-Greedy decode (the serving default everywhere in this repo); per-slot
-positions ride the ragged (B,)-vector ``pos`` the step path already
-supports. Inactive slots decode garbage into state that is overwritten at
-admission — they cost FLOPs, not correctness (measured: decode is
-HBM-bound, so idle slots are nearly free).
+Greedy decode is the default (the serving default everywhere in this
+repo); ``enable_sampling=True`` compiles a chunk with PER-REQUEST
+temperature / top-k / seed — each slot draws with
+``fold_in(PRNGKey(seed), seq_index)``, so a sampled stream is
+deterministic given its (seed, prompt) and independent of batchmates,
+and a ``temperature=0`` request inside a sampling pool still takes the
+exact argmax branch. Per-slot positions ride the ragged (B,)-vector
+``pos`` the step path already supports. Inactive slots decode garbage
+into state that is overwritten at admission — they cost FLOPs, not
+correctness (measured: decode is HBM-bound, so idle slots are nearly
+free).
 
 Measured (1.3B int8w+bf16s, v5e-1, scripts/bench_continuous.py, 64 reqs x
 64-tok prompts, budgets {32..256}, W=16, chunk=16):
@@ -64,6 +70,10 @@ class _Request:
     emb: np.ndarray  # (L, d) spliced input embeddings
     prompt_len: int
     max_new: int
+    temperature: float = 0.0  # 0 = greedy (engine default everywhere)
+    top_k: int = 0  # 0 = no top-k restriction (requires temperature > 0)
+    seed: int = 0  # per-request PRNG seed; streams are deterministic
+    #               given (seed, prompt) and independent of batchmates
     done: threading.Event = field(default_factory=threading.Event)
     tokens: List[int] = field(default_factory=list)
     first_token: Optional[int] = None
@@ -88,6 +98,13 @@ class SlotEngine:
         state_dtype=None,  # pool SSM-state dtype (bf16 = serving default
         #                    at batch>=16, same tradeoff as generate's
         #                    cache_dtype="auto"; None = fp32)
+        enable_sampling: bool = False,  # compile the per-slot sampling
+        #   chunk (temperature / top-k / seed per REQUEST). Static flag:
+        #   the default greedy program is byte-identical to before, and a
+        #   greedy request (temperature=0) inside a sampling pool still
+        #   takes the argmax branch, so mixed pools stay exact.
+        max_top_k: int = 64,  # static top-k width: per-slot k is a runtime
+        #   value <= this (one lax.top_k of this width serves every slot)
     ):
         import jax
         import jax.numpy as jnp
@@ -102,6 +119,8 @@ class SlotEngine:
         self.bucket = prefill_bucket
         self.max_new_default = max_new_default
         self.scan_impl = scan_impl
+        self.sampling = bool(enable_sampling)
+        self.max_top_k = int(max_top_k)
 
         from omnimamba_tpu.models.backbone import init_backbone_cache
 
@@ -120,11 +139,46 @@ class SlotEngine:
             )
         self._tok = jnp.zeros((n_slots,), jnp.int32)
         self._pos = jnp.zeros((n_slots,), jnp.int32)
+        # per-slot sampling state (inert zeros when sampling is disabled):
+        # temperature, top-k width, and a legacy (2,)-uint32 PRNG base key
+        # per slot. Tokens are drawn with fold_in(base_key, seq_index), so
+        # a slot's stream depends only on its own (seed, positions).
+        self._temp = jnp.zeros((n_slots,), jnp.float32)
+        self._topk = jnp.zeros((n_slots,), jnp.int32)
+        self._key = jnp.zeros((n_slots, 2), jnp.uint32)
 
         self._jit: Dict = {}
         self._chunk_fn = jax.jit(self._make_chunk())
 
     # --- jitted builders ----------------------------------------------------
+    def _pick(self, logits, idx, temp, topk, keys):
+        """Next-token choice from fp32 ``logits`` (B, V): greedy argmax, or —
+        when this slot's ``temp > 0`` — a temperature/top-k draw keyed by
+        ``fold_in(base_key, idx)`` where ``idx`` is the sequence index of the
+        token being PRODUCED (prefill uses vlen, the chunk uses pos+1, so the
+        two never collide). Traced only when ``enable_sampling``."""
+        import jax
+        import jax.numpy as jnp
+
+        greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+        if not self.sampling:
+            return greedy
+        maxk = self.max_top_k
+        vals = jax.lax.top_k(logits, maxk)[0]  # (B, maxk) descending
+        kth = jnp.take_along_axis(
+            vals, (jnp.clip(topk, 1, maxk) - 1)[:, None], axis=1
+        )[:, 0]
+        keep = jnp.where((topk > 0)[:, None], logits >= kth[:, None], True)
+        scaled = jnp.where(keep, logits, -jnp.inf) / jnp.maximum(
+            temp, 1e-6
+        )[:, None]
+        sampled = jax.vmap(
+            lambda k, i, row: jax.random.categorical(
+                jax.random.fold_in(k, i), row
+            )
+        )(keys, idx, scaled).astype(jnp.int32)
+        return jnp.where(temp > 0, sampled, greedy)
+
     def _make_chunk(self):
         import jax
         import jax.numpy as jnp
@@ -133,15 +187,14 @@ class SlotEngine:
 
         K, task, cfg, dtype = self.chunk, self.task, self.cfg, self.dtype
 
-        def chunk(params, cache, tok, pos):
+        def chunk(params, cache, tok, pos, temp, topk, keys):
             def body(carry, _):
                 tok, pos, cache = carry
                 hidden, cache = backbone_step(
                     params, tok, pos, cache, task, cfg, dtype=dtype
                 )
-                nxt = jnp.argmax(
-                    apply_head(params, hidden, task).astype(jnp.float32), -1
-                ).astype(jnp.int32)
+                logits = apply_head(params, hidden, task).astype(jnp.float32)
+                nxt = self._pick(logits, pos + 1, temp, topk, keys)
                 return (nxt, pos + 1, cache), nxt
 
             (tok, pos, cache), toks = jax.lax.scan(
@@ -164,7 +217,8 @@ class SlotEngine:
         key = ("insert", m_pref)
         if key not in self._jit:
 
-            def insert(cache, rows, idx, slots, tok, pos, firsts, rposs):
+            def insert(cache, rows, idx, slots, tok, pos, firsts, rposs,
+                       temp, rtemp, topk, rtopk, keys, rkeys):
                 # cache: (n_layer, n_slots, ...); rows: (n_layer, m_pref, ...)
                 def put(full, row):
                     return full.at[:, slots].set(
@@ -176,6 +230,11 @@ class SlotEngine:
                     new_cache,
                     tok.at[slots].set(jnp.take(firsts, idx).astype(jnp.int32)),
                     pos.at[slots].set(rposs.astype(jnp.int32)),
+                    # rtemp/rtopk/rkeys are host-aligned with ``slots``
+                    # (like rposs), not with the prefill rows
+                    temp.at[slots].set(rtemp),
+                    topk.at[slots].set(rtopk),
+                    keys.at[slots].set(rkeys),
                 )
 
             self._jit[key] = jax.jit(insert)
@@ -193,7 +252,7 @@ class SlotEngine:
 
             task, cfg, scan_impl = self.task, self.cfg, self.scan_impl
 
-            def prefill(params, emb, vlen):
+            def prefill(params, emb, vlen, temp, topk, keys):
                 hidden, cache = backbone_forward(
                     params, emb, task, cfg, scan_impl=scan_impl,
                     return_cache=True, valid_len=vlen,
@@ -202,7 +261,8 @@ class SlotEngine:
                     hidden, (vlen - 1).reshape(-1, 1, 1).astype(jnp.int32), axis=1
                 )[:, 0]
                 logits = apply_head(params, last, task).astype(jnp.float32)
-                first = jnp.argmax(logits, -1).astype(jnp.int32)
+                # first generated token sits at sequence index vlen
+                first = self._pick(logits, vlen, temp, topk, keys)
                 # state dtype must match the pool cache
                 cache = cache._replace(
                     ssm_state=cache.ssm_state.astype(self._cache.ssm_state.dtype)
@@ -228,7 +288,8 @@ class SlotEngine:
         def sync(x):
             np.asarray(jax.tree.leaves(x)[-1].ravel()[-1])  # axon-safe block
 
-        sync(self._chunk_fn(self.params, self._cache, self._tok, self._pos))
+        sync(self._chunk_fn(self.params, self._cache, self._tok, self._pos,
+                            self._temp, self._topk, self._key))
 
         d = int(self.cfg.d_model)
         buckets = sorted(
@@ -237,28 +298,44 @@ class SlotEngine:
         M = 1
         while True:
             vec = jnp.zeros((M,), jnp.int32)
+            ftem = jnp.zeros((M,), jnp.float32)
+            fkey = jnp.zeros((M, 2), jnp.uint32)
             rows = jax.tree.map(
                 lambda x: jnp.zeros((x.shape[0], M) + x.shape[2:], x.dtype),
                 self._cache,
             )
             sync(self._insert_fn(M)(
-                self._cache, rows, vec, vec, self._tok, self._pos, vec, vec
+                self._cache, rows, vec, vec, self._tok, self._pos, vec, vec,
+                self._temp, ftem, self._topk, vec, self._key, fkey,
             ))
             for Lb in buckets:
                 sync(self._prefill_fn(Lb, M)(
                     self.params, jnp.zeros((M, Lb, d), self.dtype),
-                    jnp.ones((M,), jnp.int32),
+                    jnp.ones((M,), jnp.int32), ftem, vec, fkey,
                 ))
             if M >= self.n_slots:
                 break
             M <<= 1
 
-    def submit(self, emb: np.ndarray, prompt_len: int, max_new: Optional[int] = None):
+    def submit(
+        self, emb: np.ndarray, prompt_len: int, max_new: Optional[int] = None,
+        *, temperature: float = 0.0, top_k: int = 0, seed: int = 0,
+    ):
         """Queue one request (spliced (L, d) embeddings + true length).
+        ``temperature=0`` is exact greedy; ``temperature>0`` draws with
+        optional ``top_k`` (<= the engine's ``max_top_k``) from the
+        per-request ``seed`` (requires ``enable_sampling=True``).
         Returns the _Request; wait on .done then read .tokens."""
+        if temperature > 0 and not self.sampling:
+            raise ValueError(
+                "temperature > 0 needs SlotEngine(enable_sampling=True)"
+            )
+        if top_k > self.max_top_k:
+            raise ValueError(f"top_k {top_k} > engine max_top_k {self.max_top_k}")
         req = _Request(
             emb=np.asarray(emb), prompt_len=int(prompt_len),
             max_new=int(max_new or self.max_new_default),
+            temperature=float(temperature), top_k=int(top_k), seed=int(seed),
         )
         with self._lock:
             self._queue.append(req)
@@ -297,11 +374,21 @@ class SlotEngine:
                 d = items[0][1].emb.shape[1]
                 emb = np.zeros((Mb, Lb, d), np.float32)
                 vlen = np.ones((Mb,), np.int32)
+                rtemp = np.zeros((Mb,), np.float32)
+                rtopk = np.zeros((Mb,), np.int32)
+                rkeys = np.zeros((Mb, 2), np.uint32)
+                import jax
+
                 for j, (_, r) in enumerate(items):
                     emb[j, : r.emb.shape[0]] = r.emb
                     vlen[j] = r.prompt_len
+                    rtemp[j] = r.temperature
+                    rtopk[j] = r.top_k
+                    if r.temperature > 0:
+                        rkeys[j] = np.asarray(jax.random.PRNGKey(r.seed))
                 rows, firsts = self._prefill_fn(Lb, Mb)(
-                    self.params, jnp.asarray(emb, self.dtype), jnp.asarray(vlen)
+                    self.params, jnp.asarray(emb, self.dtype), jnp.asarray(vlen),
+                    jnp.asarray(rtemp), jnp.asarray(rtopk), jnp.asarray(rkeys),
                 )
                 firsts_h = np.asarray(firsts)  # one sync per group
 
@@ -333,9 +420,15 @@ class SlotEngine:
                             [items[j][1].prompt_len for j in lv], np.int32
                         )
                     )
-                    self._cache, self._tok, self._pos = self._insert_fn(Mb)(
+                    (
+                        self._cache, self._tok, self._pos,
+                        self._temp, self._topk, self._key,
+                    ) = self._insert_fn(Mb)(
                         self._cache, rows, idx, lslots, self._tok, self._pos,
                         firsts, rposs,
+                        self._temp, jnp.asarray(rtemp[np.asarray(lv)]),
+                        self._topk, jnp.asarray(rtopk[np.asarray(lv)]),
+                        self._key, jnp.asarray(rkeys[np.asarray(lv)]),
                     )
             if not any_finished:
                 return  # no slots freed mid-admission; nothing more to do
@@ -355,7 +448,8 @@ class SlotEngine:
         if n_active == 0:
             return 0
         toks, self._cache, self._tok, self._pos = self._chunk_fn(
-            self.params, self._cache, self._tok, self._pos
+            self.params, self._cache, self._tok, self._pos,
+            self._temp, self._topk, self._key,
         )
         toks_h = np.asarray(toks)  # ONE host sync per chunk
         for slot in range(self.n_slots):

@@ -494,6 +494,10 @@ class ContinuousMMULane(threading.Thread):
             service.params["mamba"], service.model.cfg, n_slots=n_slots, chunk=chunk,
             task="mmu", dtype=service.dtype, eos_token_id=eos,
             max_new_default=max_new,
+            # per-REQUEST temperature/top_k/seed (runtime arrays, so the
+            # payload knobs don't widen the jit key space; temperature=0
+            # requests still take the exact greedy branch)
+            enable_sampling=True,
         )
         # AOT-compile every program this lane can hit before taking traffic
         # (mmu prompts land near 729 vision tokens + short text; warm the
@@ -503,9 +507,29 @@ class ContinuousMMULane(threading.Thread):
         self._stop_evt = threading.Event()
         self._work = threading.Event()
 
+    @staticmethod
+    def _sample_args(payload: Dict) -> Dict:
+        """Per-request sampling knobs (the static lane's knobs are
+        batch-level; this lane applies them per slot). temperature=0 (the
+        default) is exact greedy."""
+        def num(key, lo, hi, default):
+            try:
+                v = float(payload.get(key, default))
+            except (TypeError, ValueError):
+                v = default
+            if v != v:  # NaN
+                v = default
+            return min(max(v, lo), hi)
+
+        return {
+            "temperature": num("temperature", 0.0, 4.0, 0.0),
+            "top_k": int(num("top_k", 0, 64, 0)),
+            "seed": int(num("seed", 0, 2**31 - 1, 0)),
+        }
+
     def submit(self, payload: Dict, timeout: float = 300.0) -> Dict:
         emb, plen = self.service.mmu_build_embedding(payload)
-        req = self.engine.submit(emb, plen)
+        req = self.engine.submit(emb, plen, **self._sample_args(payload))
         self._work.set()
         if not req.done.wait(timeout):
             raise TimeoutError("continuous lane timeout")

@@ -115,6 +115,99 @@ def test_eos_frees_slot_and_truncates():
     assert not eng._active.any()
 
 
+def _embed_row(params, p):
+    return np.asarray(embed_text(params, jnp.asarray(p[None]), jnp.float32))[0]
+
+
+def test_sampling_pool_greedy_requests_stay_exact():
+    """enable_sampling=True compiles the sampling chunk; a temperature=0
+    request through it must still be bit-identical to its solo greedy
+    stream (the argmax branch of the jnp.where)."""
+    cfg, params, prompts = _mk()
+    eng = SlotEngine(
+        params, cfg, n_slots=3, chunk=4, task="mmu", dtype=jnp.float32,
+        prefill_bucket=8, max_new_default=9, scan_impl="chunked",
+        enable_sampling=True,
+    )
+    reqs = [eng.submit(_embed_row(params, p), len(p), max_new=9)
+            for p in prompts[:3]]
+    eng.run_until_drained()
+    for p, r in zip(prompts, reqs):
+        assert r.tokens == _solo_stream(params, cfg, p, 9)
+
+
+def test_sampling_deterministic_per_seed_and_varies_across_seeds():
+    """A sampled request is a pure function of (seed, prompt): the same
+    seed re-submitted (even with DIFFERENT batchmates) repeats its stream
+    exactly; distinct seeds at high temperature diverge."""
+    cfg, params, prompts = _mk()
+
+    def run(seeds, mates):
+        eng = SlotEngine(
+            params, cfg, n_slots=4, chunk=4, task="mmu", dtype=jnp.float32,
+            prefill_bucket=8, max_new_default=12, scan_impl="chunked",
+            enable_sampling=True,
+        )
+        reqs = [
+            eng.submit(_embed_row(params, prompts[0]), len(prompts[0]),
+                       max_new=12, temperature=2.0, seed=s)
+            for s in seeds
+        ]
+        for m in mates:  # extra greedy traffic to perturb slot layout
+            eng.submit(_embed_row(params, prompts[m]), len(prompts[m]),
+                       max_new=12)
+        eng.run_until_drained()
+        return [r.tokens for r in reqs]
+
+    a = run([5, 6], mates=[])
+    b = run([5], mates=[1, 2, 3])
+    assert a[0] == b[0], "same seed must repeat regardless of batchmates"
+    assert a[0] != a[1], "distinct seeds should diverge at temperature 2"
+
+
+def test_sampling_respects_top_k():
+    """Teacher-forced replay: every sampled token must sit in the top-k set
+    of the logits at its position."""
+    from omnimamba_tpu.models.backbone import apply_head, backbone_forward
+
+    cfg, params, prompts = _mk()
+    p = prompts[2]
+    k = 3
+    eng = SlotEngine(
+        params, cfg, n_slots=2, chunk=4, task="mmu", dtype=jnp.float32,
+        prefill_bucket=8, max_new_default=10, scan_impl="chunked",
+        enable_sampling=True,
+    )
+    r = eng.submit(_embed_row(params, p), len(p), max_new=10,
+                   temperature=1.5, top_k=k, seed=9)
+    eng.run_until_drained()
+    full = np.concatenate([p, np.asarray(r.tokens, np.int32)])
+    emb = embed_text(params, jnp.asarray(full[None]), jnp.float32)
+    hid, _ = backbone_forward(params, emb, "mmu", cfg, scan_impl="chunked")
+    logits = np.asarray(apply_head(params, hid, "mmu").astype(jnp.float32))[0]
+    for i, t in enumerate(r.tokens):
+        row = logits[len(p) - 1 + i]
+        topk = np.argsort(row)[::-1][:k]
+        assert t in topk, (i, t, topk.tolist())
+
+
+def test_sampling_rejected_without_flag_and_over_max_k():
+    cfg, params, prompts = _mk()
+    eng = SlotEngine(params, cfg, n_slots=2, chunk=4, task="mmu",
+                     dtype=jnp.float32, prefill_bucket=8, scan_impl="chunked")
+    import pytest
+
+    with pytest.raises(ValueError):
+        eng.submit(_embed_row(params, prompts[0]), len(prompts[0]),
+                   temperature=1.0)
+    eng2 = SlotEngine(params, cfg, n_slots=2, chunk=4, task="mmu",
+                      dtype=jnp.float32, prefill_bucket=8,
+                      scan_impl="chunked", enable_sampling=True)
+    with pytest.raises(ValueError):
+        eng2.submit(_embed_row(params, prompts[0]), len(prompts[0]),
+                    temperature=1.0, top_k=65)
+
+
 def test_http_continuous_lane_matches_static_batcher():
     """Full-stack: make_server(continuous_mmu=True) answers /v1/mmu through
     the slot engine, tagged lane=continuous, with text equal to the static
