@@ -23,7 +23,7 @@ TPU: admitting a request mid-flight is ONE row-write into the (n_layer, B,
 
 Greedy decode is the default (the serving default everywhere in this
 repo); ``enable_sampling=True`` compiles a chunk with PER-REQUEST
-temperature / top-k / seed — each slot draws with
+temperature / top-k / top-p / seed — each slot draws with
 ``fold_in(PRNGKey(seed), seq_index)``, so a sampled stream is
 deterministic given its (seed, prompt) and independent of batchmates,
 and a ``temperature=0`` request inside a sampling pool still takes the
@@ -72,6 +72,8 @@ class _Request:
     max_new: int
     temperature: float = 0.0  # 0 = greedy (engine default everywhere)
     top_k: int = 0  # 0 = no top-k restriction (requires temperature > 0)
+    top_p: float = 0.0  # 0 = no nucleus filter; in (0, 1) keeps the smallest
+    #               set of tokens whose mass >= top_p (within max_top_k)
     seed: int = 0  # per-request PRNG seed; streams are deterministic
     #               given (seed, prompt) and independent of batchmates
     done: threading.Event = field(default_factory=threading.Event)
@@ -104,7 +106,11 @@ class SlotEngine:
         #   greedy request (temperature=0) inside a sampling pool still
         #   takes the argmax branch, so mixed pools stay exact.
         max_top_k: int = 64,  # static top-k width: per-slot k is a runtime
-        #   value <= this (one lax.top_k of this width serves every slot)
+        #   value <= this (one lax.top_k of this width serves every slot).
+        #   Per-slot top-p also resolves its nucleus within these candidates
+        #   (normalized over the FULL distribution, so the cutoff is exact
+        #   whenever the nucleus fits in max_top_k; a wider nucleus truncates
+        #   to the top max_top_k tokens — raise max_top_k for flat samplers)
     ):
         import jax
         import jax.numpy as jnp
@@ -145,38 +151,60 @@ class SlotEngine:
         # a slot's stream depends only on its own (seed, positions).
         self._temp = jnp.zeros((n_slots,), jnp.float32)
         self._topk = jnp.zeros((n_slots,), jnp.int32)
+        self._topp = jnp.zeros((n_slots,), jnp.float32)
         self._key = jnp.zeros((n_slots, 2), jnp.uint32)
 
         self._jit: Dict = {}
         self._chunk_fn = jax.jit(self._make_chunk())
 
     # --- jitted builders ----------------------------------------------------
-    def _pick(self, logits, idx, temp, topk, keys):
+    def _pick(self, logits, idx, temp, topk, topp, keys):
         """Next-token choice from fp32 ``logits`` (B, V): greedy argmax, or —
-        when this slot's ``temp > 0`` — a temperature/top-k draw keyed by
-        ``fold_in(base_key, idx)`` where ``idx`` is the sequence index of the
-        token being PRODUCED (prefill uses vlen, the chunk uses pos+1, so the
-        two never collide). Traced only when ``enable_sampling``."""
+        when this slot's ``temp > 0`` — a temperature/top-k/top-p draw keyed
+        by ``fold_in(base_key, idx)`` where ``idx`` is the sequence index of
+        the token being PRODUCED (prefill uses vlen, the chunk uses pos+1, so
+        the two never collide). Traced only when ``enable_sampling``.
+
+        Filter order mirrors ``ops/sampling.sample_token`` (reference
+        generation.py:87-121): top-k mask on raw logits, temperature, then
+        top-p on the scaled survivors. The nucleus is resolved within the
+        ``max_top_k`` candidates of the ONE ``lax.top_k`` this path already
+        pays for, with probabilities normalized over the full (masked,
+        scaled) distribution — exact iff the nucleus fits in ``max_top_k``,
+        else truncated to those candidates."""
         import jax
         import jax.numpy as jnp
 
         greedy = jnp.argmax(logits, -1).astype(jnp.int32)
         if not self.sampling:
             return greedy
-        maxk = self.max_top_k
+        maxk = min(self.max_top_k, logits.shape[-1])
         vals = jax.lax.top_k(logits, maxk)[0]  # (B, maxk) descending
         kth = jnp.take_along_axis(
             vals, (jnp.clip(topk, 1, maxk) - 1)[:, None], axis=1
         )[:, 0]
-        keep = jnp.where((topk > 0)[:, None], logits >= kth[:, None], True)
-        scaled = jnp.where(keep, logits, -jnp.inf) / jnp.maximum(
-            temp, 1e-6
-        )[:, None]
+        use_k = (topk > 0)[:, None]
+        keep = jnp.where(use_k, logits >= kth[:, None], True)
+        tclamp = jnp.maximum(temp, 1e-6)[:, None]
+        scaled = jnp.where(keep, logits, -jnp.inf) / tclamp
+        # top-p: the scaled survivors in descending order are exactly `vals`
+        # value-masked by the top-k cutoff (ties at the kth value stay kept,
+        # matching apply_top_k) — no second full-vocab sort needed.
+        svals = jnp.where(use_k & (vals < kth[:, None]), -jnp.inf, vals) / tclamp
+        lse = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
+        p_sorted = jnp.exp(svals - lse)  # true probs of the candidates
+        cum = jnp.cumsum(p_sorted, axis=-1)
+        # keep candidate j iff the mass strictly ABOVE it is < top_p
+        # (the apply_top_p rule re-stated on a descending order)
+        keep_p = (cum - p_sorted) < topp[:, None]
+        cut = jnp.min(jnp.where(keep_p, svals, jnp.inf), axis=-1)
+        use_p = ((topp > 0) & (topp < 1))[:, None]
+        nucleus = jnp.where(use_p & (scaled < cut[:, None]), -jnp.inf, scaled)
         sampled = jax.vmap(
             lambda k, i, row: jax.random.categorical(
                 jax.random.fold_in(k, i), row
             )
-        )(keys, idx, scaled).astype(jnp.int32)
+        )(keys, idx, nucleus).astype(jnp.int32)
         return jnp.where(temp > 0, sampled, greedy)
 
     def _make_chunk(self):
@@ -187,14 +215,14 @@ class SlotEngine:
 
         K, task, cfg, dtype = self.chunk, self.task, self.cfg, self.dtype
 
-        def chunk(params, cache, tok, pos, temp, topk, keys):
+        def chunk(params, cache, tok, pos, temp, topk, topp, keys):
             def body(carry, _):
                 tok, pos, cache = carry
                 hidden, cache = backbone_step(
                     params, tok, pos, cache, task, cfg, dtype=dtype
                 )
                 logits = apply_head(params, hidden, task).astype(jnp.float32)
-                nxt = self._pick(logits, pos + 1, temp, topk, keys)
+                nxt = self._pick(logits, pos + 1, temp, topk, topp, keys)
                 return (nxt, pos + 1, cache), nxt
 
             (tok, pos, cache), toks = jax.lax.scan(
@@ -218,7 +246,7 @@ class SlotEngine:
         if key not in self._jit:
 
             def insert(cache, rows, idx, slots, tok, pos, firsts, rposs,
-                       temp, rtemp, topk, rtopk, keys, rkeys):
+                       temp, rtemp, topk, rtopk, topp, rtopp, keys, rkeys):
                 # cache: (n_layer, n_slots, ...); rows: (n_layer, m_pref, ...)
                 def put(full, row):
                     return full.at[:, slots].set(
@@ -230,10 +258,11 @@ class SlotEngine:
                     new_cache,
                     tok.at[slots].set(jnp.take(firsts, idx).astype(jnp.int32)),
                     pos.at[slots].set(rposs.astype(jnp.int32)),
-                    # rtemp/rtopk/rkeys are host-aligned with ``slots``
+                    # rtemp/rtopk/rtopp/rkeys are host-aligned with ``slots``
                     # (like rposs), not with the prefill rows
                     temp.at[slots].set(rtemp),
                     topk.at[slots].set(rtopk),
+                    topp.at[slots].set(rtopp),
                     keys.at[slots].set(rkeys),
                 )
 
@@ -252,7 +281,7 @@ class SlotEngine:
 
             task, cfg, scan_impl = self.task, self.cfg, self.scan_impl
 
-            def prefill(params, emb, vlen, temp, topk, keys):
+            def prefill(params, emb, vlen, temp, topk, topp, keys):
                 hidden, cache = backbone_forward(
                     params, emb, task, cfg, scan_impl=scan_impl,
                     return_cache=True, valid_len=vlen,
@@ -262,7 +291,7 @@ class SlotEngine:
                 )[:, 0]
                 logits = apply_head(params, last, task).astype(jnp.float32)
                 # first generated token sits at sequence index vlen
-                first = self._pick(logits, vlen, temp, topk, keys)
+                first = self._pick(logits, vlen, temp, topk, topp, keys)
                 # state dtype must match the pool cache
                 cache = cache._replace(
                     ssm_state=cache.ssm_state.astype(self._cache.ssm_state.dtype)
@@ -289,7 +318,7 @@ class SlotEngine:
             np.asarray(jax.tree.leaves(x)[-1].ravel()[-1])  # axon-safe block
 
         sync(self._chunk_fn(self.params, self._cache, self._tok, self._pos,
-                            self._temp, self._topk, self._key))
+                            self._temp, self._topk, self._topp, self._key))
 
         d = int(self.cfg.d_model)
         buckets = sorted(
@@ -306,12 +335,13 @@ class SlotEngine:
             )
             sync(self._insert_fn(M)(
                 self._cache, rows, vec, vec, self._tok, self._pos, vec, vec,
-                self._temp, ftem, self._topk, vec, self._key, fkey,
+                self._temp, ftem, self._topk, vec, self._topp, ftem,
+                self._key, fkey,
             ))
             for Lb in buckets:
                 sync(self._prefill_fn(Lb, M)(
                     self.params, jnp.zeros((M, Lb, d), self.dtype),
-                    jnp.ones((M,), jnp.int32), ftem, vec, fkey,
+                    jnp.ones((M,), jnp.int32), ftem, vec, ftem, fkey,
                 ))
             if M >= self.n_slots:
                 break
@@ -319,12 +349,14 @@ class SlotEngine:
 
     def submit(
         self, emb: np.ndarray, prompt_len: int, max_new: Optional[int] = None,
-        *, temperature: float = 0.0, top_k: int = 0, seed: int = 0,
+        *, temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0,
+        seed: int = 0,
     ):
         """Queue one request (spliced (L, d) embeddings + true length).
         ``temperature=0`` is exact greedy; ``temperature>0`` draws with
-        optional ``top_k`` (<= the engine's ``max_top_k``) from the
-        per-request ``seed`` (requires ``enable_sampling=True``).
+        optional ``top_k``/``top_p`` (k <= the engine's ``max_top_k``; the
+        top-p nucleus resolves within those candidates) from the per-request
+        ``seed`` (requires ``enable_sampling=True``).
         Returns the _Request; wait on .done then read .tokens."""
         if temperature > 0 and not self.sampling:
             raise ValueError(
@@ -332,10 +364,13 @@ class SlotEngine:
             )
         if top_k > self.max_top_k:
             raise ValueError(f"top_k {top_k} > engine max_top_k {self.max_top_k}")
+        if not 0.0 <= top_p < 1.0:
+            raise ValueError(f"top_p {top_p} must be in [0, 1)")
         req = _Request(
             emb=np.asarray(emb), prompt_len=int(prompt_len),
             max_new=int(max_new or self.max_new_default),
-            temperature=float(temperature), top_k=int(top_k), seed=int(seed),
+            temperature=float(temperature), top_k=int(top_k),
+            top_p=float(top_p), seed=int(seed),
         )
         with self._lock:
             self._queue.append(req)
@@ -376,6 +411,7 @@ class SlotEngine:
                 vlen = np.ones((Mb,), np.int32)
                 rtemp = np.zeros((Mb,), np.float32)
                 rtopk = np.zeros((Mb,), np.int32)
+                rtopp = np.zeros((Mb,), np.float32)
                 rkeys = np.zeros((Mb, 2), np.uint32)
                 import jax
 
@@ -384,11 +420,13 @@ class SlotEngine:
                     vlen[j] = r.prompt_len
                     rtemp[j] = r.temperature
                     rtopk[j] = r.top_k
+                    rtopp[j] = r.top_p
                     if r.temperature > 0:
                         rkeys[j] = np.asarray(jax.random.PRNGKey(r.seed))
                 rows, firsts = self._prefill_fn(Lb, Mb)(
                     self.params, jnp.asarray(emb, self.dtype), jnp.asarray(vlen),
-                    jnp.asarray(rtemp), jnp.asarray(rtopk), jnp.asarray(rkeys),
+                    jnp.asarray(rtemp), jnp.asarray(rtopk), jnp.asarray(rtopp),
+                    jnp.asarray(rkeys),
                 )
                 firsts_h = np.asarray(firsts)  # one sync per group
 
@@ -422,12 +460,13 @@ class SlotEngine:
                     )
                     (
                         self._cache, self._tok, self._pos,
-                        self._temp, self._topk, self._key,
+                        self._temp, self._topk, self._topp, self._key,
                     ) = self._insert_fn(Mb)(
                         self._cache, rows, idx, lslots, self._tok, self._pos,
                         firsts, rposs,
                         self._temp, jnp.asarray(rtemp[np.asarray(lv)]),
                         self._topk, jnp.asarray(rtopk[np.asarray(lv)]),
+                        self._topp, jnp.asarray(rtopp[np.asarray(lv)]),
                         self._key, jnp.asarray(rkeys[np.asarray(lv)]),
                     )
             if not any_finished:
@@ -449,7 +488,7 @@ class SlotEngine:
             return 0
         toks, self._cache, self._tok, self._pos = self._chunk_fn(
             self.params, self._cache, self._tok, self._pos,
-            self._temp, self._topk, self._key,
+            self._temp, self._topk, self._topp, self._key,
         )
         toks_h = np.asarray(toks)  # ONE host sync per chunk
         for slot in range(self.n_slots):

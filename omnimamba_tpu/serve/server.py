@@ -494,9 +494,12 @@ class ContinuousMMULane(threading.Thread):
             service.params["mamba"], service.model.cfg, n_slots=n_slots, chunk=chunk,
             task="mmu", dtype=service.dtype, eos_token_id=eos,
             max_new_default=max_new,
-            # per-REQUEST temperature/top_k/seed (runtime arrays, so the
-            # payload knobs don't widen the jit key space; temperature=0
-            # requests still take the exact greedy branch)
+            # per-REQUEST temperature/top_k/top_p/seed (runtime arrays, so
+            # the payload knobs don't widen the jit key space; temperature=0
+            # requests still take the exact greedy branch). Measured cost of
+            # the sampling program at 1.3B W=16 K=16: chunk 109.7 vs 106.4 ms
+            # greedy (+3.1%, scripts/bench_sampling_chunk.py) — paid whether
+            # or not any slot samples (the full-vocab top_k dominates).
             enable_sampling=True,
         )
         # AOT-compile every program this lane can hit before taking traffic
@@ -524,6 +527,7 @@ class ContinuousMMULane(threading.Thread):
         return {
             "temperature": num("temperature", 0.0, 4.0, 0.0),
             "top_k": int(num("top_k", 0, 64, 0)),
+            "top_p": num("top_p", 0.0, 0.999, 0.0),
             "seed": int(num("seed", 0, 2**31 - 1, 0)),
         }
 

@@ -191,6 +191,34 @@ def test_sampling_respects_top_k():
         assert t in topk, (i, t, topk.tolist())
 
 
+def test_sampling_respects_top_p():
+    """Teacher-forced replay: every sampled token must sit inside the
+    top-p nucleus (apply_top_k -> /temperature -> apply_top_p, the static
+    sample_token order) of the logits at its position."""
+    from omnimamba_tpu.models.backbone import apply_head, backbone_forward
+    from omnimamba_tpu.ops.sampling import apply_top_p
+
+    cfg, params, prompts = _mk()
+    p = prompts[1]
+    temp, topp = 1.5, 0.6
+    eng = SlotEngine(
+        params, cfg, n_slots=2, chunk=4, task="mmu", dtype=jnp.float32,
+        prefill_bucket=16, max_new_default=10, scan_impl="chunked",
+        enable_sampling=True,
+    )
+    r = eng.submit(_embed_row(params, p), len(p), max_new=10,
+                   temperature=temp, top_p=topp, seed=3)
+    eng.run_until_drained()
+    full = np.concatenate([p, np.asarray(r.tokens, np.int32)])
+    emb = embed_text(params, jnp.asarray(full[None]), jnp.float32)
+    hid, _ = backbone_forward(params, emb, "mmu", cfg, scan_impl="chunked")
+    logits = np.asarray(apply_head(params, hid, "mmu").astype(jnp.float32))[0]
+    for i, t in enumerate(r.tokens):
+        row = jnp.asarray(logits[len(p) - 1 + i]) / temp
+        kept = np.asarray(apply_top_p(row[None], topp))[0]
+        assert np.isfinite(kept[t]), (i, t, int(np.isfinite(kept).sum()))
+
+
 def test_sampling_rejected_without_flag_and_over_max_k():
     cfg, params, prompts = _mk()
     eng = SlotEngine(params, cfg, n_slots=2, chunk=4, task="mmu",
@@ -206,6 +234,9 @@ def test_sampling_rejected_without_flag_and_over_max_k():
     with pytest.raises(ValueError):
         eng2.submit(_embed_row(params, prompts[0]), len(prompts[0]),
                     temperature=1.0, top_k=65)
+    with pytest.raises(ValueError):
+        eng2.submit(_embed_row(params, prompts[0]), len(prompts[0]),
+                    temperature=1.0, top_p=1.0)
 
 
 def test_http_continuous_lane_matches_static_batcher():
