@@ -74,6 +74,12 @@ class _Request:
     top_k: int = 0  # 0 = no top-k restriction (requires temperature > 0)
     top_p: float = 0.0  # 0 = no nucleus filter; in (0, 1) keeps the smallest
     #               set of tokens whose mass >= top_p (within max_top_k)
+    min_p: float = 0.0  # in (0, 1): drop tokens with prob < min_p * max_prob
+    #               (sample_token branch order: only when top_k == 0, and it
+    #               replaces top-p — reference generation.py:108-115)
+    repetition_penalty: float = 1.0  # CTRL penalty >= 1 over this request's
+    #               GENERATED tokens (needs enable_rep_penalty; the static
+    #               lane penalizes prompt ids too — documented divergence)
     seed: int = 0  # per-request PRNG seed; streams are deterministic
     #               given (seed, prompt) and independent of batchmates
     done: threading.Event = field(default_factory=threading.Event)
@@ -101,7 +107,8 @@ class SlotEngine:
         #                    at batch>=16, same tradeoff as generate's
         #                    cache_dtype="auto"; None = fp32)
         enable_sampling: bool = False,  # compile the per-slot sampling
-        #   chunk (temperature / top-k / seed per REQUEST). Static flag:
+        #   chunk (temperature / top-k / top-p / min-p / seed per REQUEST;
+        #   measured +3.1% chunk time at 1.3B W=16). Static flag:
         #   the default greedy program is byte-identical to before, and a
         #   greedy request (temperature=0) inside a sampling pool still
         #   takes the argmax branch, so mixed pools stay exact.
@@ -111,6 +118,15 @@ class SlotEngine:
         #   (normalized over the FULL distribution, so the cutoff is exact
         #   whenever the nucleus fits in max_top_k; a wider nucleus truncates
         #   to the top max_top_k tokens — raise max_top_k for flat samplers)
+        enable_rep_penalty: bool = False,  # carry a per-slot GENERATED-token
+        #   history through the chunk and apply CTRL repetition penalty
+        #   (>= 1) to the logits before the pick. Divergence from the static
+        #   lane (which penalizes prompt+generated ids): this engine only
+        #   sees spliced embeddings, so the penalty covers generated tokens
+        #   only. penalty == 1 slots are exact no-ops (identity min-combine).
+        history_len: int = 256,  # history capacity per slot when
+        #   enable_rep_penalty; requests with penalty != 1 must have
+        #   max_new <= this (tokens past it would silently escape penalty)
     ):
         import jax
         import jax.numpy as jnp
@@ -127,6 +143,8 @@ class SlotEngine:
         self.scan_impl = scan_impl
         self.sampling = bool(enable_sampling)
         self.max_top_k = int(max_top_k)
+        self.rep_penalty = bool(enable_rep_penalty)
+        self.history_len = int(history_len) if enable_rep_penalty else 1
 
         from omnimamba_tpu.models.backbone import init_backbone_cache
 
@@ -152,26 +170,38 @@ class SlotEngine:
         self._temp = jnp.zeros((n_slots,), jnp.float32)
         self._topk = jnp.zeros((n_slots,), jnp.int32)
         self._topp = jnp.zeros((n_slots,), jnp.float32)
+        self._minp = jnp.zeros((n_slots,), jnp.float32)
         self._key = jnp.zeros((n_slots, 2), jnp.uint32)
+        # repetition-penalty state: per-slot penalty (1 = off), generated-
+        # token history ring ((n_slots, 1) inert when the flag is off) and
+        # a count of valid entries. Updated inside the chunk scan; reset at
+        # admission (the first generated token seeds position 0).
+        self._pen = jnp.ones((n_slots,), jnp.float32)
+        self._hist = jnp.zeros((n_slots, self.history_len), jnp.int32)
+        self._cnt = jnp.zeros((n_slots,), jnp.int32)
 
         self._jit: Dict = {}
         self._chunk_fn = jax.jit(self._make_chunk())
 
     # --- jitted builders ----------------------------------------------------
-    def _pick(self, logits, idx, temp, topk, topp, keys):
+    def _pick(self, logits, idx, temp, topk, topp, minp, keys):
         """Next-token choice from fp32 ``logits`` (B, V): greedy argmax, or —
-        when this slot's ``temp > 0`` — a temperature/top-k/top-p draw keyed
-        by ``fold_in(base_key, idx)`` where ``idx`` is the sequence index of
-        the token being PRODUCED (prefill uses vlen, the chunk uses pos+1, so
-        the two never collide). Traced only when ``enable_sampling``.
+        when this slot's ``temp > 0`` — a temperature/top-k/top-p/min-p draw
+        keyed by ``fold_in(base_key, idx)`` where ``idx`` is the sequence
+        index of the token being PRODUCED (prefill uses vlen, the chunk uses
+        pos+1, so the two never collide). Traced only when
+        ``enable_sampling``.
 
         Filter order mirrors ``ops/sampling.sample_token`` (reference
         generation.py:87-121): top-k mask on raw logits, temperature, then
-        top-p on the scaled survivors. The nucleus is resolved within the
+        top-p on the scaled survivors — except when this slot has top_k == 0
+        and min_p > 0, where min-p (computed on RAW logits) replaces top-p,
+        the reference's branch order. The nucleus is resolved within the
         ``max_top_k`` candidates of the ONE ``lax.top_k`` this path already
         pays for, with probabilities normalized over the full (masked,
         scaled) distribution — exact iff the nucleus fits in ``max_top_k``,
-        else truncated to those candidates."""
+        else truncated to those candidates. Min-p needs no sort at all:
+        prob < min_p * max_prob  <=>  logit < max_logit + log(min_p)."""
         import jax
         import jax.numpy as jnp
 
@@ -184,7 +214,22 @@ class SlotEngine:
             vals, (jnp.clip(topk, 1, maxk) - 1)[:, None], axis=1
         )[:, 0]
         use_k = (topk > 0)[:, None]
-        keep = jnp.where(use_k, logits >= kth[:, None], True)
+        use_minp = (~use_k) & ((minp > 0) & (minp < 1))[:, None]
+        # one per-ROW cutoff folds top-k and min-p into a single (B, V)
+        # compare. min-p survivors come from raw logits:
+        # prob >= min_p * max_prob  <=>  logit >= max_logit + log(min_p).
+        # The row max MUST come from a fresh jnp.max reduction, NOT from
+        # vals[:, :1]: a second consumer of the lax.top_k output measured
+        # +10 ms/chunk at 1.3B W=16 (bisect V6-slice vs V6-log/const in the
+        # r5 notes; the where-nesting and the log are free).
+        minp_cut = jnp.max(logits, -1, keepdims=True) + jnp.log(
+            jnp.clip(minp, 1e-9, 1.0)
+        )[:, None]
+        row_cut = jnp.where(
+            use_minp, minp_cut,
+            jnp.where(use_k, kth[:, None], -jnp.inf),
+        )  # (B, 1)
+        keep = logits >= row_cut
         tclamp = jnp.maximum(temp, 1e-6)[:, None]
         scaled = jnp.where(keep, logits, -jnp.inf) / tclamp
         # top-p: the scaled survivors in descending order are exactly `vals`
@@ -198,7 +243,7 @@ class SlotEngine:
         # (the apply_top_p rule re-stated on a descending order)
         keep_p = (cum - p_sorted) < topp[:, None]
         cut = jnp.min(jnp.where(keep_p, svals, jnp.inf), axis=-1)
-        use_p = ((topp > 0) & (topp < 1))[:, None]
+        use_p = ((topp > 0) & (topp < 1))[:, None] & ~use_minp
         nucleus = jnp.where(use_p & (scaled < cut[:, None]), -jnp.inf, scaled)
         sampled = jax.vmap(
             lambda k, i, row: jax.random.categorical(
@@ -207,6 +252,26 @@ class SlotEngine:
         )(keys, idx, nucleus).astype(jnp.int32)
         return jnp.where(temp > 0, sampled, greedy)
 
+    def _penalize(self, logits, hist, cnt, pen):
+        """CTRL repetition penalty over this slot's GENERATED tokens (the
+        ops/sampling.apply_repetition_penalty scatter, vectorized to a
+        per-slot penalty). Engine validation pins pen >= 1, so the penalized
+        score is always <= the original and one ``.min`` scatter serves every
+        slot; pen == 1 rows write the unchanged score (exact no-op). Entries
+        past ``cnt`` write +inf (the min identity). Traced only when
+        ``enable_rep_penalty``."""
+        import jax.numpy as jnp
+
+        if not self.rep_penalty:
+            return logits
+        B, H = hist.shape
+        scores = jnp.take_along_axis(logits, hist, axis=1)  # (B, H)
+        p = pen[:, None]
+        pscores = jnp.where(scores < 0, scores * p, scores / p)
+        valid = jnp.arange(H)[None, :] < cnt[:, None]
+        pscores = jnp.where(valid, pscores, jnp.inf)
+        return logits.at[jnp.arange(B)[:, None], hist].min(pscores)
+
     def _make_chunk(self):
         import jax
         import jax.numpy as jnp
@@ -214,21 +279,30 @@ class SlotEngine:
         from omnimamba_tpu.models.backbone import apply_head, backbone_step
 
         K, task, cfg, dtype = self.chunk, self.task, self.cfg, self.dtype
+        H = self.history_len
 
-        def chunk(params, cache, tok, pos, temp, topk, topp, keys):
+        def chunk(params, cache, tok, pos, temp, topk, topp, minp, keys,
+                  hist, cnt, pen):
             def body(carry, _):
-                tok, pos, cache = carry
+                tok, pos, cache, hist, cnt = carry
                 hidden, cache = backbone_step(
                     params, tok, pos, cache, task, cfg, dtype=dtype
                 )
                 logits = apply_head(params, hidden, task).astype(jnp.float32)
-                nxt = self._pick(logits, pos + 1, temp, topk, topp, keys)
-                return (nxt, pos + 1, cache), nxt
+                logits = self._penalize(logits, hist, cnt, pen)
+                nxt = self._pick(logits, pos + 1, temp, topk, topp, minp, keys)
+                if self.rep_penalty:
+                    B = hist.shape[0]
+                    hist = hist.at[
+                        jnp.arange(B), jnp.clip(cnt, 0, H - 1)
+                    ].set(nxt)
+                    cnt = jnp.minimum(cnt + 1, H)
+                return (nxt, pos + 1, cache, hist, cnt), nxt
 
-            (tok, pos, cache), toks = jax.lax.scan(
-                body, (tok, pos, cache), None, length=K
+            (tok, pos, cache, hist, cnt), toks = jax.lax.scan(
+                body, (tok, pos, cache, hist, cnt), None, length=K
             )
-            return toks.T, cache, tok, pos  # toks: (B, K)
+            return toks.T, cache, tok, pos, hist, cnt  # toks: (B, K)
 
         return chunk
 
@@ -246,7 +320,8 @@ class SlotEngine:
         if key not in self._jit:
 
             def insert(cache, rows, idx, slots, tok, pos, firsts, rposs,
-                       temp, rtemp, topk, rtopk, topp, rtopp, keys, rkeys):
+                       temp, rtemp, topk, rtopk, topp, rtopp,
+                       minp, rminp, keys, rkeys, hist, cnt, pen, rpen):
                 # cache: (n_layer, n_slots, ...); rows: (n_layer, m_pref, ...)
                 def put(full, row):
                     return full.at[:, slots].set(
@@ -263,7 +338,15 @@ class SlotEngine:
                     temp.at[slots].set(rtemp),
                     topk.at[slots].set(rtopk),
                     topp.at[slots].set(rtopp),
+                    minp.at[slots].set(rminp),
                     keys.at[slots].set(rkeys),
+                    # history restarts with the prefill's first generated
+                    # token at position 0 (count = 1)
+                    hist.at[slots].set(0).at[slots, 0].set(
+                        jnp.take(firsts, idx).astype(jnp.int32)
+                    ),
+                    cnt.at[slots].set(1),
+                    pen.at[slots].set(rpen),
                 )
 
             self._jit[key] = jax.jit(insert)
@@ -281,7 +364,7 @@ class SlotEngine:
 
             task, cfg, scan_impl = self.task, self.cfg, self.scan_impl
 
-            def prefill(params, emb, vlen, temp, topk, topp, keys):
+            def prefill(params, emb, vlen, temp, topk, topp, minp, keys):
                 hidden, cache = backbone_forward(
                     params, emb, task, cfg, scan_impl=scan_impl,
                     return_cache=True, valid_len=vlen,
@@ -291,7 +374,7 @@ class SlotEngine:
                 )[:, 0]
                 logits = apply_head(params, last, task).astype(jnp.float32)
                 # first generated token sits at sequence index vlen
-                first = self._pick(logits, vlen, temp, topk, topp, keys)
+                first = self._pick(logits, vlen, temp, topk, topp, minp, keys)
                 # state dtype must match the pool cache
                 cache = cache._replace(
                     ssm_state=cache.ssm_state.astype(self._cache.ssm_state.dtype)
@@ -318,7 +401,8 @@ class SlotEngine:
             np.asarray(jax.tree.leaves(x)[-1].ravel()[-1])  # axon-safe block
 
         sync(self._chunk_fn(self.params, self._cache, self._tok, self._pos,
-                            self._temp, self._topk, self._topp, self._key))
+                            self._temp, self._topk, self._topp, self._minp,
+                            self._key, self._hist, self._cnt, self._pen))
 
         d = int(self.cfg.d_model)
         buckets = sorted(
@@ -336,12 +420,13 @@ class SlotEngine:
             sync(self._insert_fn(M)(
                 self._cache, rows, vec, vec, self._tok, self._pos, vec, vec,
                 self._temp, ftem, self._topk, vec, self._topp, ftem,
-                self._key, fkey,
+                self._minp, ftem, self._key, fkey,
+                self._hist, self._cnt, self._pen, jnp.ones((M,), jnp.float32),
             ))
             for Lb in buckets:
                 sync(self._prefill_fn(Lb, M)(
                     self.params, jnp.zeros((M, Lb, d), self.dtype),
-                    jnp.ones((M,), jnp.int32), ftem, vec, ftem, fkey,
+                    jnp.ones((M,), jnp.int32), ftem, vec, ftem, ftem, fkey,
                 ))
             if M >= self.n_slots:
                 break
@@ -350,13 +435,15 @@ class SlotEngine:
     def submit(
         self, emb: np.ndarray, prompt_len: int, max_new: Optional[int] = None,
         *, temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0,
-        seed: int = 0,
+        min_p: float = 0.0, repetition_penalty: float = 1.0, seed: int = 0,
     ):
         """Queue one request (spliced (L, d) embeddings + true length).
         ``temperature=0`` is exact greedy; ``temperature>0`` draws with
-        optional ``top_k``/``top_p`` (k <= the engine's ``max_top_k``; the
-        top-p nucleus resolves within those candidates) from the per-request
-        ``seed`` (requires ``enable_sampling=True``).
+        optional ``top_k``/``top_p``/``min_p`` (k <= the engine's
+        ``max_top_k``; the top-p nucleus resolves within those candidates;
+        min-p applies only when top_k == 0, replacing top-p — the
+        sample_token branch order) from the per-request ``seed``
+        (requires ``enable_sampling=True``).
         Returns the _Request; wait on .done then read .tokens."""
         if temperature > 0 and not self.sampling:
             raise ValueError(
@@ -366,11 +453,30 @@ class SlotEngine:
             raise ValueError(f"top_k {top_k} > engine max_top_k {self.max_top_k}")
         if not 0.0 <= top_p < 1.0:
             raise ValueError(f"top_p {top_p} must be in [0, 1)")
+        if not 0.0 <= min_p < 1.0:
+            raise ValueError(f"min_p {min_p} must be in [0, 1)")
+        if repetition_penalty != 1.0:
+            if not self.rep_penalty:
+                raise ValueError(
+                    "repetition_penalty != 1 needs "
+                    "SlotEngine(enable_rep_penalty=True)"
+                )
+            if repetition_penalty < 1.0:
+                raise ValueError(
+                    f"repetition_penalty {repetition_penalty} must be >= 1 "
+                    "(amplification < 1 is not supported by this engine)"
+                )
+            if int(max_new or self.max_new_default) > self.history_len:
+                raise ValueError(
+                    f"max_new {max_new} > history_len {self.history_len}: "
+                    "tokens past the history would escape the penalty"
+                )
         req = _Request(
             emb=np.asarray(emb), prompt_len=int(prompt_len),
             max_new=int(max_new or self.max_new_default),
             temperature=float(temperature), top_k=int(top_k),
-            top_p=float(top_p), seed=int(seed),
+            top_p=float(top_p), min_p=float(min_p),
+            repetition_penalty=float(repetition_penalty), seed=int(seed),
         )
         with self._lock:
             self._queue.append(req)
@@ -412,6 +518,8 @@ class SlotEngine:
                 rtemp = np.zeros((Mb,), np.float32)
                 rtopk = np.zeros((Mb,), np.int32)
                 rtopp = np.zeros((Mb,), np.float32)
+                rminp = np.zeros((Mb,), np.float32)
+                rpen = np.ones((Mb,), np.float32)
                 rkeys = np.zeros((Mb, 2), np.uint32)
                 import jax
 
@@ -421,12 +529,14 @@ class SlotEngine:
                     rtemp[j] = r.temperature
                     rtopk[j] = r.top_k
                     rtopp[j] = r.top_p
+                    rminp[j] = r.min_p
+                    rpen[j] = r.repetition_penalty
                     if r.temperature > 0:
                         rkeys[j] = np.asarray(jax.random.PRNGKey(r.seed))
                 rows, firsts = self._prefill_fn(Lb, Mb)(
                     self.params, jnp.asarray(emb, self.dtype), jnp.asarray(vlen),
                     jnp.asarray(rtemp), jnp.asarray(rtopk), jnp.asarray(rtopp),
-                    jnp.asarray(rkeys),
+                    jnp.asarray(rminp), jnp.asarray(rkeys),
                 )
                 firsts_h = np.asarray(firsts)  # one sync per group
 
@@ -460,14 +570,18 @@ class SlotEngine:
                     )
                     (
                         self._cache, self._tok, self._pos,
-                        self._temp, self._topk, self._topp, self._key,
+                        self._temp, self._topk, self._topp, self._minp,
+                        self._key, self._hist, self._cnt, self._pen,
                     ) = self._insert_fn(Mb)(
                         self._cache, rows, idx, lslots, self._tok, self._pos,
                         firsts, rposs,
                         self._temp, jnp.asarray(rtemp[np.asarray(lv)]),
                         self._topk, jnp.asarray(rtopk[np.asarray(lv)]),
                         self._topp, jnp.asarray(rtopp[np.asarray(lv)]),
+                        self._minp, jnp.asarray(rminp[np.asarray(lv)]),
                         self._key, jnp.asarray(rkeys[np.asarray(lv)]),
+                        self._hist, self._cnt, self._pen,
+                        jnp.asarray(rpen[np.asarray(lv)]),
                     )
             if not any_finished:
                 return  # no slots freed mid-admission; nothing more to do
@@ -486,9 +600,11 @@ class SlotEngine:
         n_active = int(self._active.sum())
         if n_active == 0:
             return 0
-        toks, self._cache, self._tok, self._pos = self._chunk_fn(
+        (toks, self._cache, self._tok, self._pos, self._hist,
+         self._cnt) = self._chunk_fn(
             self.params, self._cache, self._tok, self._pos,
-            self._temp, self._topk, self._topp, self._key,
+            self._temp, self._topk, self._topp, self._minp, self._key,
+            self._hist, self._cnt, self._pen,
         )
         toks_h = np.asarray(toks)  # ONE host sync per chunk
         for slot in range(self.n_slots):

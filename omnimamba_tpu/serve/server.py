@@ -501,6 +501,10 @@ class ContinuousMMULane(threading.Thread):
             # greedy (+3.1%, scripts/bench_sampling_chunk.py) — paid whether
             # or not any slot samples (the full-vocab top_k dominates).
             enable_sampling=True,
+            # per-request CTRL penalty over generated tokens (the static
+            # lane's penalty also covers prompt ids — documented divergence;
+            # this engine holds embeddings, not ids)
+            enable_rep_penalty=True, history_len=max_new,
         )
         # AOT-compile every program this lane can hit before taking traffic
         # (mmu prompts land near 729 vision tokens + short text; warm the
@@ -528,6 +532,8 @@ class ContinuousMMULane(threading.Thread):
             "temperature": num("temperature", 0.0, 4.0, 0.0),
             "top_k": int(num("top_k", 0, 64, 0)),
             "top_p": num("top_p", 0.0, 0.999, 0.0),
+            "min_p": num("min_p", 0.0, 0.999, 0.0),
+            "repetition_penalty": num("repetition_penalty", 1.0, 4.0, 1.0),
             "seed": int(num("seed", 0, 2**31 - 1, 0)),
         }
 

@@ -51,7 +51,8 @@ def main() -> None:
         eng._pos = jnp.full((W,), 64, jnp.int32)
         fn = eng._chunk_fn
         argsv = (eng.params, eng._cache, eng._tok, eng._pos,
-                 eng._temp, eng._topk, eng._topp, eng._key)
+                 eng._temp, eng._topk, eng._topp, eng._minp, eng._key,
+                 eng._hist, eng._cnt, eng._pen)
         out = fn(*argsv)
         np.asarray(out[0].ravel()[-1])  # hard sync (axon)
         t0 = time.time()
@@ -79,9 +80,19 @@ def main() -> None:
     t1ms = time_chunk(s, "sampling engine, temp=1 k=64")
     s._topp = jnp.full((W,), 0.9, jnp.float32)
     t2ms = time_chunk(s, "sampling engine, temp=1 p=.9")
+    del s
+
+    r = SlotEngine(params, cfg, n_slots=W, chunk=K, task="mmu",
+                   dtype=jnp.bfloat16, prefill_bucket=64,
+                   state_dtype=jnp.bfloat16, enable_rep_penalty=True,
+                   history_len=256)
+    r._pen = jnp.full((W,), 1.3, jnp.float32)
+    r._cnt = jnp.full((W,), 128, jnp.int32)  # half-full histories
+    t3ms = time_chunk(r, "penalty engine, pen=1.3 H=256")
     print(f"overhead vs greedy: temp0 {100*(t0ms/base-1):+.1f}%  "
           f"sampled {100*(t1ms/base-1):+.1f}%  "
-          f"top-p {100*(t2ms/base-1):+.1f}%", flush=True)
+          f"top-p {100*(t2ms/base-1):+.1f}%  "
+          f"penalty {100*(t3ms/base-1):+.1f}%", flush=True)
 
 
 if __name__ == "__main__":

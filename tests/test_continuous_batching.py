@@ -219,6 +219,103 @@ def test_sampling_respects_top_p():
         assert np.isfinite(kept[t]), (i, t, int(np.isfinite(kept).sum()))
 
 
+def test_sampling_respects_min_p():
+    """Teacher-forced replay: with top_k=0 and min_p set, every sampled
+    token's RAW-logit probability must be >= min_p * max_prob (min-p is
+    computed before temperature, reference generation.py:108-115)."""
+    from omnimamba_tpu.models.backbone import apply_head, backbone_forward
+
+    cfg, params, prompts = _mk()
+    p = prompts[3]
+    minp = 0.25
+    eng = SlotEngine(
+        params, cfg, n_slots=2, chunk=4, task="mmu", dtype=jnp.float32,
+        prefill_bucket=8, max_new_default=10, scan_impl="chunked",
+        enable_sampling=True,
+    )
+    r = eng.submit(_embed_row(params, p), len(p), max_new=10,
+                   temperature=2.0, min_p=minp, seed=11)
+    eng.run_until_drained()
+    full = np.concatenate([p, np.asarray(r.tokens, np.int32)])
+    emb = embed_text(params, jnp.asarray(full[None]), jnp.float32)
+    hid, _ = backbone_forward(params, emb, "mmu", cfg, scan_impl="chunked")
+    logits = np.asarray(apply_head(params, hid, "mmu").astype(jnp.float32))[0]
+    for i, t in enumerate(r.tokens):
+        row = logits[len(p) - 1 + i]
+        probs = np.exp(row - row.max())
+        probs /= probs.sum()
+        assert probs[t] >= minp * probs.max() - 1e-7, (i, t, probs[t])
+
+
+def test_rep_penalty_one_stays_exact_and_flags_validated():
+    """penalty=1 requests through a penalty-enabled engine must stay
+    bit-identical to solo greedy (the min-combine writes the unchanged
+    score); penalty != 1 without the flag / < 1 / past history must raise."""
+    import pytest
+
+    cfg, params, prompts = _mk()
+    eng = SlotEngine(
+        params, cfg, n_slots=3, chunk=4, task="mmu", dtype=jnp.float32,
+        prefill_bucket=8, max_new_default=9, scan_impl="chunked",
+        enable_rep_penalty=True, history_len=16,
+    )
+    reqs = [eng.submit(_embed_row(params, p), len(p), max_new=9)
+            for p in prompts[:3]]
+    eng.run_until_drained()
+    for p, r in zip(prompts, reqs):
+        assert r.tokens == _solo_stream(params, cfg, p, 9)
+    with pytest.raises(ValueError):
+        eng.submit(_embed_row(params, prompts[0]), len(prompts[0]),
+                   repetition_penalty=0.9)
+    with pytest.raises(ValueError):
+        eng.submit(_embed_row(params, prompts[0]), len(prompts[0]),
+                   max_new=17, repetition_penalty=1.3)
+    plain = SlotEngine(params, cfg, n_slots=2, chunk=4, task="mmu",
+                       dtype=jnp.float32, prefill_bucket=8,
+                       scan_impl="chunked")
+    with pytest.raises(ValueError):
+        plain.submit(_embed_row(params, prompts[0]), len(prompts[0]),
+                     repetition_penalty=1.3)
+
+
+def test_rep_penalty_matches_teacher_forced_oracle():
+    """Greedy + penalty>1: the engine's stream must equal a host replay that
+    penalizes each step's logits over the GENERATED-so-far tokens (the
+    engine's documented semantics — prompt ids are embeddings here and are
+    not penalized, unlike the static lane)."""
+    from omnimamba_tpu.models.backbone import apply_head, backbone_forward
+    from omnimamba_tpu.ops.sampling import apply_repetition_penalty
+
+    cfg, params, prompts = _mk()
+    p = prompts[0]
+    pen, n_new = 1.8, 10
+    eng = SlotEngine(
+        params, cfg, n_slots=2, chunk=4, task="mmu", dtype=jnp.float32,
+        prefill_bucket=8, max_new_default=n_new, scan_impl="chunked",
+        enable_rep_penalty=True, history_len=16,
+    )
+    r = eng.submit(_embed_row(params, p), len(p), max_new=n_new,
+                   repetition_penalty=pen)
+    eng.run_until_drained()
+    assert len(r.tokens) == n_new
+
+    got = []
+    for _ in range(n_new):
+        full = np.concatenate([p, np.asarray(got, np.int32)])
+        emb = embed_text(params, jnp.asarray(full[None]), jnp.float32)
+        hid, _ = backbone_forward(params, emb, "mmu", cfg,
+                                  scan_impl="chunked")
+        logits = apply_head(params, hid, "mmu").astype(jnp.float32)[:, -1]
+        if got:
+            logits = apply_repetition_penalty(
+                logits, jnp.asarray(np.asarray(got, np.int32)[None]), pen
+            )
+        got.append(int(np.asarray(jnp.argmax(logits, -1))[0]))
+    assert r.tokens == got, (r.tokens, got)
+    # sanity: the penalty actually changed the stream vs plain greedy
+    assert r.tokens != _solo_stream(params, cfg, p, n_new)
+
+
 def test_sampling_rejected_without_flag_and_over_max_k():
     cfg, params, prompts = _mk()
     eng = SlotEngine(params, cfg, n_slots=2, chunk=4, task="mmu",
