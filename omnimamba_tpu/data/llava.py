@@ -83,6 +83,20 @@ class AlignDataset:
         )
         return {"pixel_values": pixels, "input_ids": input_ids, "labels": labels}
 
+    def get_modality_lengths(self, n_image_patches: int):
+        """(is_multimodal, length) per example for length-grouped samplers
+        (llava_instruct_data.py:109-117: word count + patch count, with
+        '<image>' stripped before splitting)."""
+        out = []
+        for ex in self.examples:
+            is_mm = "image" in ex
+            n_words = sum(
+                len(t["value"].replace("<image>", "").split())
+                for t in ex["conversations"]
+            )
+            out.append((is_mm, n_image_patches + n_words if is_mm else n_words))
+        return out
+
 
 class FinetuneDataset:
     """Multi-turn instruct stage (llava_instruct_data.py:122-244):
@@ -145,6 +159,17 @@ class FinetuneDataset:
                 os.path.join(self.image_dir, ex["image"]), self.image_size
             )
         return {"pixel_values": pixels, "input_ids": out_ids, "labels": out_lab}
+
+    def get_modality_lengths(self):
+        """(is_multimodal, word count) per example
+        (llava_instruct_data.py:232-239 — no patch count in this variant)."""
+        return [
+            (
+                "image" in ex,
+                sum(len(t["value"].split()) for t in ex["conversations"]),
+            )
+            for ex in self.examples
+        ]
 
 
 class PaddedCollatorForLanguageModeling:

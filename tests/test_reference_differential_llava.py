@@ -1,15 +1,19 @@
-"""Differential tests of the MMU datasets against the ACTUAL reference
-``util/llava_instruct_data.py`` (r5 extension of test_reference_differential).
+"""Differential tests: the ACTUAL reference LLaVA instruct datasets vs
+``data/llava.py``.
 
-The reference module imports the cobra vision package (timm + torchvision at
-module top) and type-gates its tokenizer handling on ``GPTNeoXTokenizerFast``.
-Neither timm nor torchvision is installed here, and both are irrelevant to
-the DATA CONTRACT under test (ids/labels packing), so this file installs
-minimal import-surface stubs for them and builds a real GPTNeoXTokenizerFast
-from the in-repo mini BPE fixture. The image transform is a constant-tensor
-lambda on the reference side; pixel comparisons are out of scope (covered by
-test_transforms / the PARITY dossier) — ids, labels, padding, truncation,
-eot handling, and the corrupt-image fallback are in scope.
+``util/llava_instruct_data.py`` (AlignDataset :25-119, FinetuneDataset
+:122-244) imports ``models.cobra.backbones.vision`` only for the
+``ImageTransform`` Protocol annotation — the vision package itself needs
+timm (absent in-image), so a stub module is installed in ``sys.modules``
+before the import; none of the dataset logic under test touches it (the
+transform is injected).
+
+The reference hard-raises on any tokenizer that is not a
+``GPTNeoXTokenizerFast`` (llava_instruct_data.py:169-173), so the shared
+``OfflineTokenizer`` is wrapped in a ``Mock(spec=GPTNeoXTokenizerFast)``
+implementing the exact HF call surface each side uses (``return_tensors=
+"pt"`` for align, ``add_special_tokens=`` for finetune — GPT-NeoX adds no
+special tokens either way, matching the real tokenizer).
 """
 
 from __future__ import annotations
@@ -23,187 +27,247 @@ import numpy as np
 import pytest
 
 REF = "/root/reference"
+
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference tree not present"
 )
 
 torch = pytest.importorskip("torch")
 
+if REF not in sys.path:
+    sys.path.insert(0, REF)
 
-def _install_vision_stubs():
-    """timm / torchvision import-surface stubs — only what the reference
-    vision package touches at import time."""
-    if "timm" in sys.modules and not getattr(sys.modules["timm"], "__stub__", False):
-        return  # a real timm exists; don't shadow it
-    timm = types.ModuleType("timm")
-    timm.__stub__ = True
-    timm_models = types.ModuleType("timm.models")
-    timm_vt = types.ModuleType("timm.models.vision_transformer")
+# stub the timm-dependent vision package BEFORE the reference dataset module
+# imports ImageTransform from it (a Protocol — any class satisfies the name)
+if "models.cobra.backbones.vision" not in sys.modules:
+    _stub = types.ModuleType("models.cobra.backbones.vision")
 
-    class _Dummy:  # isinstance targets only
+    class _ImageTransform:  # pragma: no cover - annotation stand-in
         pass
 
-    timm_vt.Block = _Dummy
-    timm_vt.VisionTransformer = _Dummy
-    timm_data = types.ModuleType("timm.data")
-    timm.models = timm_models
-    timm.data = timm_data
-    timm_models.vision_transformer = timm_vt
-    sys.modules.setdefault("timm", timm)
-    sys.modules.setdefault("timm.models", timm_models)
-    sys.modules.setdefault("timm.models.vision_transformer", timm_vt)
-    sys.modules.setdefault("timm.data", timm_data)
-
-    tv = types.ModuleType("torchvision")
-    tv.__stub__ = True
-    tv_tr = types.ModuleType("torchvision.transforms")
-
-    class Compose:
-        def __init__(self, transforms):
-            self.transforms = transforms
-
-        def __call__(self, x):
-            for t in self.transforms:
-                x = t(x)
-            return x
-
-    class Resize:
-        def __init__(self, *a, **k):
-            pass
-
-    tv_tr.Compose = Compose
-    tv_tr.Resize = Resize
-    tv_f = types.ModuleType("torchvision.transforms.functional")
-    tv.transforms = tv_tr
-    tv_tr.functional = tv_f
-    sys.modules.setdefault("torchvision", tv)
-    sys.modules.setdefault("torchvision.transforms", tv_tr)
-    sys.modules.setdefault("torchvision.transforms.functional", tv_f)
+    _stub.ImageTransform = _ImageTransform
+    _stub.VisionBackbone = object
+    sys.modules["models.cobra.backbones.vision"] = _stub
 
 
-@pytest.fixture(scope="module")
-def neox_tokenizer(tmp_path_factory):
-    from tokenizers import Tokenizer
-    from tokenizers.decoders import ByteLevel as ByteLevelDecoder
-    from tokenizers.models import BPE
-    from tokenizers.pre_tokenizers import ByteLevel
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+SIZE = 32  # tiny square images keep PIL work negligible
+
+
+def _base_tokenizer():
+    from omnimamba_tpu.data.tokenizer import OfflineTokenizer
+
+    tok = OfflineTokenizer()
+    tok.add_special_tokens({"pad_token": "<|pad|>"})
+    return tok
+
+
+def _ref_tokenizer(base):
+    """HF-protocol shim around the shared OfflineTokenizer that passes the
+    reference's ``isinstance(tok, GPTNeoXTokenizerFast)`` gate."""
+    from types import SimpleNamespace
+    from unittest.mock import Mock
+
     from transformers import GPTNeoXTokenizerFast
 
-    fx = os.path.join(os.path.dirname(__file__), "fixtures", "mini_bpe")
-    tok = Tokenizer(
-        BPE.from_file(
-            os.path.join(fx, "vocab.json"), os.path.join(fx, "merges.txt")
-        )
-    )
-    tok.pre_tokenizer = ByteLevel(add_prefix_space=False)
-    tok.decoder = ByteLevelDecoder()
-    path = str(tmp_path_factory.mktemp("tok") / "tokenizer.json")
-    tok.save(path)
-    t = GPTNeoXTokenizerFast(tokenizer_file=path, eos_token="<|endoftext|>")
-    t.add_special_tokens({"pad_token": "[PAD]"})
-    return t
+    tok = Mock(spec=GPTNeoXTokenizerFast)
+
+    def call(text, truncation=False, return_tensors=None, add_special_tokens=True):
+        ids = base.encode(text)  # GPT-NeoX adds no special tokens
+        if return_tensors == "pt":
+            return SimpleNamespace(
+                input_ids=torch.tensor([ids], dtype=torch.long)
+            )
+        return SimpleNamespace(input_ids=list(ids))
+
+    tok.side_effect = call
+    tok.eos_token = base.eos_token
+    tok.pad_token_id = base.pad_token_id
+    return tok
+
+
+class _RefTransform:
+    """Injected reference-side transform producing byte-identical pixels to
+    data/llava._load_image_uint8 (RGB convert happens in the dataset; the
+    default PIL resample matches because both sides call plain .resize)."""
+
+    def __call__(self, img):
+        return np.asarray(img.resize((SIZE, SIZE)), np.uint8)
 
 
 @pytest.fixture(scope="module")
-def ref_mod():
-    _install_vision_stubs()
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    from util import llava_instruct_data
-
-    return llava_instruct_data
-
-
-def _write_image(path):
+def data_dir(tmp_path_factory):
+    """Images exercising every arm of the loader: two good JPEGs, a
+    jpg→gif fallback (llava_instruct_data.py:101-104), and a corrupt file
+    with no fallback (→ pixel_values=None on both sides)."""
     from PIL import Image
 
-    Image.fromarray(
-        (np.random.default_rng(0).random((20, 24, 3)) * 255).astype(np.uint8)
-    ).save(path)
+    d = tmp_path_factory.mktemp("llava_diff")
+    rng = np.random.default_rng(0)
+    for i in (0, 1):
+        arr = rng.integers(0, 255, (48, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i}.jpg")
+    # row 2: img_2.jpg missing, img_2.gif present
+    arr = rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+    Image.fromarray(arr).convert("P").save(d / "img_2.gif")
+    # row 3: corrupt jpg, no gif
+    (d / "img_3.jpg").write_bytes(b"not an image at all")
+
+    align_rows = [
+        {
+            "image": f"img_{i}.jpg",
+            "conversations": [
+                {"from": "human", "value": "Give a short caption.\n<image>"},
+                {"from": "gpt", "value": f"  caption row {i} with words {i * 3}  "},
+            ],
+        }
+        for i in range(4)
+    ]
+    with open(d / "align.json", "w") as f:
+        json.dump(align_rows, f)
+
+    long_turn = " ".join(f"w{k}" for k in range(40))
+    finetune_rows = [
+        {
+            "image": f"img_{i}.jpg",
+            "conversations": [
+                {"from": "human", "value": f"<image>\nWhat is in picture {i}?"},
+                {"from": "gpt", "value": f"A synthetic object number {i}."},
+                {"from": "human", "value": "Describe its color."},
+                {"from": "gpt", "value": "It is a bright test-pattern color."},
+            ],
+        }
+        for i in range(4)
+    ]
+    # truncation break: the long second turn overflows max_length-1 mid-loop
+    finetune_rows.append(
+        {
+            "image": "img_0.jpg",
+            "conversations": [
+                {"from": "human", "value": "<image>\nTell me everything."},
+                {"from": "gpt", "value": long_turn},
+                {"from": "human", "value": "More."},
+                {"from": "gpt", "value": "Done."},
+            ],
+        }
+    )
+    # text-only row: the reference filters it out (:145); ours must too
+    finetune_rows.append(
+        {
+            "conversations": [
+                {"from": "human", "value": "No image here."},
+                {"from": "gpt", "value": "Indeed."},
+            ]
+        }
+    )
+    with open(d / "finetune.json", "w") as f:
+        json.dump(finetune_rows, f)
+    return d
 
 
-ALIGN_ROWS = [
-    {
-        "image": "a.jpg",
-        "conversations": [
-            {"from": "human", "value": "Summarize the photo.\n<image>"},
-            {"from": "gpt", "value": "  a cat sits on a mat  "},
-        ],
-    },
-    {
-        "image": "missing.jpg",  # corrupt-image fallback -> pixel None
-        "conversations": [
-            {"from": "human", "value": "<image>"},
-            {"from": "gpt", "value": "one two three four five six seven eight "
-                                     * 40},  # truncation arm
-        ],
-    },
-]
-
-INSTRUCT_ROWS = [
-    {
-        "image": "a.jpg",
-        "conversations": [
-            {"from": "human", "value": "What is in this <image> photo?"},
-            {"from": "gpt", "value": "A cat."},
-            {"from": "human", "value": "What color?"},
-            {"from": "gpt", "value": "Orange."},
-        ],
-    },
-    {
-        "image": "a.jpg",
-        "conversations": [
-            {"from": "human", "value": "Describe <image> at length."},
-            {"from": "gpt", "value": "word " * 600},  # turn-overflow break arm
-        ],
-    },
-]
-
-
-def test_align_dataset_matches(tmp_path, neox_tokenizer, ref_mod):
-    _write_image(tmp_path / "a.jpg")
-    chat = tmp_path / "chat.json"
-    chat.write_text(json.dumps(ALIGN_ROWS))
+def _pairs_align(data_dir, max_length=24):
+    import util.llava_instruct_data as ref_llava
 
     from omnimamba_tpu.data.llava import AlignDataset as MyAlign
 
-    max_len = 48
-    ref_ds = ref_mod.AlignDataset(
-        chat, tmp_path, lambda img: torch.zeros(1), neox_tokenizer,
-        max_length=max_len,
+    base = _base_tokenizer()
+    ref = ref_llava.AlignDataset(
+        data_dir / "align.json", data_dir, _RefTransform(),
+        _ref_tokenizer(base), max_length=max_length,
     )
-    my_ds = MyAlign(str(chat), str(tmp_path), neox_tokenizer, max_length=max_len)
-    assert len(ref_ds) == len(my_ds)
-    for i in range(len(ref_ds)):
-        r, m = ref_ds[i], my_ds[i]
-        np.testing.assert_array_equal(m["input_ids"], r["input_ids"].numpy())
-        np.testing.assert_array_equal(m["labels"], r["labels"].numpy())
-        assert (m["pixel_values"] is None) == (r["pixel_values"] is None)
+    mine = MyAlign(
+        str(data_dir / "align.json"), str(data_dir), base,
+        max_length=max_length, image_size=SIZE,
+    )
+    return ref, mine
 
 
-def test_finetune_dataset_matches(tmp_path, neox_tokenizer, ref_mod):
-    _write_image(tmp_path / "a.jpg")
-    instruct = tmp_path / "instruct.json"
-    instruct.write_text(json.dumps(INSTRUCT_ROWS))
-
-    from omnimamba_tpu.data.llava import FinetuneDataset as MyFinetune
-    from omnimamba_tpu.data.prompt_builder import MambaPromptBuilder as MyPB
-
+def _pairs_finetune(data_dir, max_length=32, eot_id=3):
+    import util.llava_instruct_data as ref_llava
     from models.cobra.backbones.llm.prompting.mamba_prompter import (
         MambaPromptBuilder as RefPB,
     )
 
-    max_len, eot = 64, 333
-    ref_ds = ref_mod.FinetuneDataset(
-        instruct, tmp_path, lambda img: torch.zeros(1), neox_tokenizer,
-        prompt_builder_fn=RefPB, max_length=max_len, eot_id=eot,
+    from omnimamba_tpu.data.llava import FinetuneDataset as MyFinetune
+    from omnimamba_tpu.data.prompt_builder import MambaPromptBuilder as MyPB
+
+    base = _base_tokenizer()
+    ref = ref_llava.FinetuneDataset(
+        data_dir / "finetune.json", data_dir, _RefTransform(),
+        _ref_tokenizer(base), prompt_builder_fn=RefPB,
+        max_length=max_length, eot_id=eot_id,
     )
-    my_ds = MyFinetune(
-        str(instruct), str(tmp_path), neox_tokenizer,
-        prompt_builder_fn=MyPB, max_length=max_len, eot_id=eot,
+    mine = MyFinetune(
+        str(data_dir / "finetune.json"), str(data_dir), base,
+        prompt_builder_fn=MyPB, max_length=max_length, eot_id=eot_id,
+        image_size=SIZE,
     )
-    assert len(ref_ds) == len(my_ds)
-    for i in range(len(ref_ds)):
-        r, m = ref_ds[i], my_ds[i]
-        np.testing.assert_array_equal(m["input_ids"], r["input_ids"].numpy())
-        np.testing.assert_array_equal(m["labels"], r["labels"].numpy())
+    return ref, mine
+
+
+class TestAlignDifferential:
+    def test_items(self, data_dir):
+        ref, mine = _pairs_align(data_dir)
+        assert len(ref) == len(mine) == 4
+        for i in range(4):
+            r, m = ref[i], mine[i]
+            np.testing.assert_array_equal(m["input_ids"], t2n(r["input_ids"]))
+            np.testing.assert_array_equal(m["labels"], t2n(r["labels"]))
+            if r["pixel_values"] is None:
+                assert m["pixel_values"] is None and i == 3
+            else:
+                np.testing.assert_array_equal(
+                    m["pixel_values"], np.asarray(r["pixel_values"])
+                )
+
+    def test_truncation(self, data_dir):
+        """Caption longer than max_length is right-truncated identically."""
+        ref, mine = _pairs_align(data_dir, max_length=3)
+        r, m = ref[0], mine[0]
+        np.testing.assert_array_equal(m["input_ids"], t2n(r["input_ids"]))
+        np.testing.assert_array_equal(m["labels"], t2n(r["labels"]))
+        assert len(m["input_ids"]) == 3
+
+    def test_modality_lengths(self, data_dir):
+        ref, mine = _pairs_align(data_dir)
+        assert mine.get_modality_lengths(729) == ref.get_modality_lengths(729)
+
+
+class TestFinetuneDifferential:
+    def test_filters_text_only_rows(self, data_dir):
+        ref, mine = _pairs_finetune(data_dir)
+        assert len(ref) == len(mine) == 5  # 6 rows, one text-only dropped
+
+    def test_items(self, data_dir):
+        ref, mine = _pairs_finetune(data_dir)
+        for i in range(len(ref)):
+            r, m = ref[i], mine[i]
+            np.testing.assert_array_equal(
+                m["input_ids"], t2n(r["input_ids"]), err_msg=f"row {i}"
+            )
+            np.testing.assert_array_equal(
+                m["labels"], t2n(r["labels"]), err_msg=f"row {i}"
+            )
+            if r["pixel_values"] is None:
+                assert m["pixel_values"] is None
+            else:
+                np.testing.assert_array_equal(
+                    m["pixel_values"], np.asarray(r["pixel_values"])
+                )
+
+    def test_truncation_break_drops_whole_turn(self, data_dir):
+        """Row 4's 40-token gpt turn overflows max_length-1, so BOTH sides
+        stop before it: only the first human turn + <eot> survive, and every
+        kept label is IGNORE (llava_instruct_data.py:178-180,197)."""
+        ref, mine = _pairs_finetune(data_dir)
+        r, m = ref[4], mine[4]
+        np.testing.assert_array_equal(m["input_ids"], t2n(r["input_ids"]))
+        np.testing.assert_array_equal(m["labels"], t2n(r["labels"]))
+        assert (m["labels"] == -100).all()
+
+    def test_modality_lengths(self, data_dir):
+        ref, mine = _pairs_finetune(data_dir)
+        assert mine.get_modality_lengths() == ref.get_modality_lengths()
