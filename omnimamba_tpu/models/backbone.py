@@ -319,6 +319,13 @@ def backbone_forward(
             policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
+    # NOTE: unrolling this layer scan is a measured NEGATIVE for training
+    # too (1.3B B=8 proj_ssd step: unroll=1 345.5 ms / 33.2% MFU, unroll=2
+    # 402.7 / 28.5%, unroll=4 474.2 / 24.2%) — the hoped-for win was
+    # amortizing the per-layer DUS writes that stack checkpoint residuals
+    # (~24 ms of the step), but XLA's scan slab streaming beats its
+    # scheduling of the widened body, same physics as the decode-step
+    # result at :493.
     (h, residual), caches = jax.lax.scan(body, (h, residual), xs_in)
 
     final = rms_norm(
